@@ -1,0 +1,93 @@
+"""Config contract tests (reference: load_options.py:11-59, configuration.cfg)."""
+
+import configparser
+import textwrap
+
+from subcort_tpu.config import Options, load_options
+
+CFG = textwrap.dedent("""\
+    [database]
+    train_folder = /data/train
+    inference_folder = /data/test
+    t1_name = T1.nii.gz
+    roi_name = gt_15_classes.nii.gz
+    save_tmp = True
+
+    [model]
+    name = miccai2012_v1
+    mode = cuda0
+    patch_size = 32
+    batch_size = 256
+    patience = 20
+    net_verbose = 1
+    max_epochs = 100
+    train_split = 0.25
+    test_batch_size = 100000
+    load_weights = True
+    out_probabilities = False
+    speedup_segmentation = True
+    post_process = True
+    debug = True
+""")
+
+
+def _load(tmp_path, text=CFG):
+    p = tmp_path / "configuration.cfg"
+    p.write_text(text)
+    return load_options(p)
+
+
+def test_reference_cfg_roundtrip(tmp_path):
+    o = _load(tmp_path)
+    assert o["experiment"] == "miccai2012_v1"
+    assert o["train_folder"] == "/data/train"
+    assert o["test_folder"] == "/data/test"          # inference_folder maps here
+    assert o["t1_name"] == "T1.nii.gz"
+    assert o["roi_name"] == "gt_15_classes.nii.gz"
+    assert o["patch_size"] == (32, 32)
+    assert o["batch_size"] == 256
+    assert o["test_batch_size"] == 100000
+    assert o["train_split"] == 0.25
+    assert o["max_epochs"] == 100
+    assert o["patience"] == 20
+    assert o["mode"] == "cuda0"
+    # speedup_segmentation -> crop (load_options.py:51)
+    assert o["crop"] is True
+
+
+def test_string_boolean_tolerance(tmp_path):
+    """The reference compares booleans as strings ('True'); we accept both."""
+    o = _load(tmp_path, CFG.replace("debug = True", "debug = False")
+                           .replace("out_probabilities = False",
+                                    "out_probabilities = True"))
+    assert o.bool("debug") is False
+    assert o.bool("out_probabilities") is True
+    assert o.bool("post_process") is True
+
+
+def test_accepts_preparsed_configparser(tmp_path):
+    """train_model.py:23-26 passes an already-read RawConfigParser."""
+    p = tmp_path / "configuration.cfg"
+    p.write_text(CFG)
+    cfg = configparser.RawConfigParser()
+    cfg.read(str(p))
+    o = load_options(cfg)
+    assert o.experiment == "miccai2012_v1"
+
+
+def test_dict_view_and_mutation():
+    o = Options()
+    o["debug"] = False
+    assert o.debug is False
+    assert "patch_size" in set(iter(o))
+    d = o.asdict()
+    assert d["patience"] == 20
+
+
+def test_defaults_without_optional_keys(tmp_path):
+    o = _load(tmp_path, "[database]\ntrain_folder=/x\ninference_folder=/y\n"
+                        "t1_name=T1.nii.gz\nroi_name=gt.nii.gz\nsave_tmp=True\n"
+                        "[model]\nname = m\n")
+    assert o.patch_size == (32, 32)
+    assert o.test_batch_size == 100000
+    assert o.seed == 42

@@ -1,0 +1,95 @@
+"""NIfTI-1 I/O tests: roundtrip, gzip, 4D, affines, dtype handling."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+from subcort_tpu.io import NiftiImage, load_nii, save_nii
+
+
+@pytest.mark.parametrize("suffix", [".nii", ".nii.gz"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32])
+def test_roundtrip_3d(tmp_path, rng, suffix, dtype):
+    data = (rng.random((17, 23, 9)) * 100).astype(dtype)
+    path = str(tmp_path / f"vol{suffix}")
+    save_nii(NiftiImage(data), path)
+    img = load_nii(path)
+    np.testing.assert_array_equal(img.data, data)
+    assert img.data.dtype == dtype
+    np.testing.assert_allclose(img.affine, np.eye(4))
+
+
+def test_roundtrip_4d_prior_volume(tmp_path, rng):
+    """15-channel prior atlas volumes are 4D (base.py:529)."""
+    data = rng.random((12, 10, 8, 15)).astype(np.float32)
+    path = str(tmp_path / "MNI_sub_probabilities.nii.gz")
+    save_nii(NiftiImage(data), path)
+    img = load_nii(path)
+    assert img.shape == (12, 10, 8, 15)
+    np.testing.assert_array_equal(img.data, data)
+
+
+def test_affine_preserved(tmp_path, rng):
+    affine = np.array([[-1.0, 0, 0, 90.0],
+                       [0, 1.2, 0, -126.0],
+                       [0, 0, 1.0, -72.0],
+                       [0, 0, 0, 1.0]])
+    data = rng.random((5, 6, 7)).astype(np.float32)
+    path = str(tmp_path / "aff.nii.gz")
+    save_nii(NiftiImage(data, affine), path)
+    img = load_nii(path)
+    np.testing.assert_allclose(img.affine, affine, atol=1e-5)
+
+
+def test_fortran_order_on_disk(tmp_path):
+    """NIfTI voxel data is x-fastest: byte order on disk must be Fortran."""
+    data = np.arange(2 * 3 * 4, dtype=np.int16).reshape(2, 3, 4)
+    path = str(tmp_path / "f.nii")
+    save_nii(NiftiImage(data), path)
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    vox = np.frombuffer(raw, dtype=np.int16, offset=352)
+    np.testing.assert_array_equal(vox, data.ravel(order="F"))
+
+
+def test_scl_slope_applied(tmp_path):
+    data = np.arange(8, dtype=np.int16).reshape(2, 2, 2)
+    path = str(tmp_path / "scl.nii")
+    save_nii(NiftiImage(data), path)
+    with open(path, "rb") as fh:
+        raw = bytearray(fh.read())
+    struct.pack_into("<f", raw, 112, 2.0)   # scl_slope
+    struct.pack_into("<f", raw, 116, 1.0)   # scl_inter
+    with open(path, "wb") as fh:
+        fh.write(raw)
+    img = load_nii(path)
+    np.testing.assert_allclose(img.data, data.astype(np.float32) * 2 + 1)
+
+
+def test_bool_saved_as_uint8(tmp_path):
+    """binary masks (e.g. MNI_subcortical_mask) must be writable."""
+    data = np.zeros((4, 4, 4), dtype=bool)
+    data[1:3, 1:3, 1:3] = True
+    path = str(tmp_path / "mask.nii.gz")
+    save_nii(NiftiImage(data), path)
+    img = load_nii(path)
+    np.testing.assert_array_equal(img.data.astype(bool), data)
+
+
+def test_gzip_file_is_actually_gzipped(tmp_path, rng):
+    path = str(tmp_path / "z.nii.gz")
+    save_nii(NiftiImage(rng.random((4, 4, 4)).astype(np.float32)), path)
+    with open(path, "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"
+    with gzip.open(path, "rb") as fh:
+        assert struct.unpack("<i", fh.read(4))[0] == 348
+
+
+def test_nibabel_compat_surface(tmp_path, rng):
+    img = NiftiImage(rng.random((3, 3, 3)).astype(np.float32))
+    assert img.get_data() is img.data
+    assert img.shape == (3, 3, 3)
+    img.to_filename(str(tmp_path / "c.nii.gz"))
+    assert (tmp_path / "c.nii.gz").exists()
