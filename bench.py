@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Headline benchmark: full-scan voxelwise segmentation on one TPU chip.
+
+Reproduces the reference's production inference configuration
+(BASELINE.json config #3: speedup_segmentation=True — atlas-ROI cropped
+candidate set, pretrained miccai2012_v1 weights, 15-class labels) on an
+MNI-sized synthetic scan, and reports per-scan wall-clock + voxel
+throughput.
+
+Baseline: the reference records no per-scan number (BASELINE.md); the
+north-star target is < 5 s/scan on one v5e chip. ``vs_baseline`` is
+therefore reported against that 5 s target (>1.0 = faster than target).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+
+import jax  # noqa: E402
+
+from subcort_tpu.engine.infer import segment_volume  # noqa: E402
+from subcort_tpu.models import load_theano_checkpoint, init_params  # noqa: E402
+
+REF_CKPT = "/root/reference/nets/miccai2012_v1/miccai2012_v1.pkl"
+TARGET_SECONDS = 5.0  # north-star: <5 s/scan on one v5e chip (BASELINE.md)
+
+
+def make_scan(rng):
+    """MNI-dimension synthetic T1 + prior atlas + subcortical ROI."""
+    shape = (181, 217, 181)
+    image = np.zeros(shape, np.float32)
+    # brain-ish ellipsoid of nonzero intensities
+    x, y, z = np.ogrid[:shape[0], :shape[1], :shape[2]]
+    brain = (((x - 90) / 80.0) ** 2 + ((y - 108) / 95.0) ** 2
+             + ((z - 90) / 78.0) ** 2) < 1.0
+    image[brain] = (rng.random(int(brain.sum())) * 800 + 100).astype(np.float32)
+
+    atlas = np.zeros(shape + (15,), np.float32)
+    atlas[..., 14] = 1.0
+    # subcortical blob: central region with structure priors
+    roi = (((x - 90) / 28.0) ** 2 + ((y - 108) / 32.0) ** 2
+           + ((z - 90) / 26.0) ** 2) < 1.0
+    n_roi = int(roi.sum())
+    pri = rng.random((n_roi, 15)).astype(np.float32)
+    pri /= pri.sum(1, keepdims=True)
+    atlas[roi] = pri
+    return image, atlas, roi
+
+
+def main():
+    rng = np.random.default_rng(0)
+    image, atlas, roi = make_scan(rng)
+
+    if os.path.exists(REF_CKPT):
+        params = load_theano_checkpoint(REF_CKPT)
+    else:  # fall back so the bench runs standalone
+        params = init_params(jax.random.key(0))
+    params = jax.device_put(params)
+
+    # candidate voxels: dilated subcortical ROI (reference crop semantics)
+    from scipy import ndimage
+    b_mask = ndimage.binary_dilation(roi, iterations=10)
+    centers = np.stack(np.nonzero(b_mask), axis=1).astype(np.int32)
+    n_vox = centers.shape[0]
+
+    # warm-up: compile the device program (first compile excluded, as the
+    # reference's Theano compile would be)
+    labels, _ = segment_volume(params, image, atlas, centers)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        labels, _ = segment_volume(params, image, atlas, centers)
+        times.append(time.perf_counter() - t0)
+    per_scan = min(times)
+    vox_per_sec = n_vox / per_scan
+
+    print(json.dumps({
+        "metric": "per_scan_segmentation_wallclock",
+        "value": round(per_scan, 4),
+        "unit": "seconds",
+        "vs_baseline": round(TARGET_SECONDS / per_scan, 3),
+        "voxels_per_sec_per_chip": int(vox_per_sec),
+        "candidate_voxels": int(n_vox),
+        "volume_shape": list(image.shape),
+        "device": str(jax.devices()[0]),
+        "checkpoint": "miccai2012_v1" if os.path.exists(REF_CKPT) else "random-init",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Post-processing: per-class connected-component filtering against the
+registered atlas mask.
+
+Reference: base.py:460-480. For each structure class 1..14, label the
+connected components of the predicted mask and keep only the component with
+the largest voxel-count overlap with the binary subcortical atlas mask —
+removing spurious distant regions.
+
+The reference has a latent bug (SURVEY.md §2.3-7): its argmax runs over the
+component list *including background component 0*; when no component
+overlaps the atlas, argmax returns 0 and the entire non-class region is
+painted with the class label. Default behavior here is the evident intent —
+score real components by atlas overlap, tie-break by size, and keep nothing
+if the class is absent; ``bugcompat_argmax=True`` reproduces the reference
+bit-for-bit for differential testing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from scipy import ndimage
+
+from subcort_tpu.io import load_nii
+
+
+def post_process_segmentation(image_folder: str, input_mask: np.ndarray,
+                              atlas_mask: np.ndarray | None = None,
+                              num_classes: int = 15,
+                              bugcompat_argmax: bool = False) -> np.ndarray:
+    """Filter a predicted label volume; returns a new volume.
+
+    ``atlas_mask`` may be passed directly; otherwise it is read from
+    ``<image_folder>/tmp/MNI_subcortical_mask.nii.gz`` (base.py:465).
+    """
+    if atlas_mask is None:
+        atlas_mask = load_nii(os.path.join(
+            image_folder, "tmp", "MNI_subcortical_mask.nii.gz")).data
+    atlas_mask = np.asarray(atlas_mask) != 0
+
+    filtered = np.zeros_like(input_mask)
+    for l in range(1, num_classes):
+        th = input_mask == l
+        labels, num = ndimage.label(th)
+        if bugcompat_argmax:
+            # reference scoring: per labeled region (including 0), the count
+            # of voxels in th & atlas; argmax over all regions.
+            label_list = np.unique(labels)
+            overlap = np.logical_and(th, atlas_mask)
+            scores = ndimage.labeled_comprehension(
+                overlap, labels, label_list, np.sum, float, 0)
+            winner = label_list[int(np.argmax(scores))]
+            filtered[labels == winner] = l
+            continue
+
+        if num == 0:
+            continue
+        overlap_counts = np.bincount(
+            labels[np.logical_and(th, atlas_mask)], minlength=num + 1)[1:]
+        if overlap_counts.max(initial=0) > 0:
+            winner = int(np.argmax(overlap_counts)) + 1
+        else:
+            # no component touches the atlas: keep the largest by size
+            sizes = np.bincount(labels[th], minlength=num + 1)[1:]
+            winner = int(np.argmax(sizes)) + 1
+        filtered[labels == winner] = l
+    return filtered

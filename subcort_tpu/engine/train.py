@@ -1,0 +1,361 @@
+"""Training harness (layer L4/L5).
+
+Reference counterpart: nolearn ``NeuralNet.fit`` as configured by
+``build_model`` (cnn_cort/nets.py:127-255): categorical cross-entropy,
+Adam(lr=1e-3 fixed, Lasagne defaults b1=.9 b2=.999 eps=1e-8), TrainSplit
+holdout, per-epoch hooks [SaveWeights(only_best), SaveTrainingHistory,
+EarlyStopping(patience)]. Quirks preserved/knobbed:
+
+- the reference never wires ``options['batch_size']`` into NeuralNet, so
+  nolearn's default 128 is what actually trains (SURVEY.md §2.3-5); the
+  trainer honors ``options['batch_size']`` but ``batch_size=128`` gives the
+  reference's effective behavior;
+- nolearn's BatchIterator does NOT reshuffle between epochs (data is
+  shuffled once up front) — ``shuffle_each_epoch`` defaults False to match;
+- the rotation/flip augmentation iterator exists but is never activated in
+  the reference (nets.py:41-124 defined, not passed); here it's
+  ``augment=True`` — implemented on device, per-view independent choice of
+  {rot180, flip, rot180+flip} on a random half of the batch, as the
+  reference's transform specifies.
+
+TPU-native: patches are *gathered on device inside the jitted train step*
+from the HBM-resident volume stack (no host patch tensors), batch sharded
+over the ``('data',)`` mesh, BN uses batch stats with Lasagne's EMA
+(alpha=1e-2) on (mean, inv_std). History is JSONL with the reference's
+history-pickle keys (epoch, train_loss, valid_loss, valid_accuracy,
+*_best flags, dur).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from subcort_tpu.config import Options
+from subcort_tpu.engine.data import TrainingIndex
+from subcort_tpu.models import apply as model_apply
+from subcort_tpu.models import init_params, update_bn_ema
+from subcort_tpu.models.importer import save_theano_checkpoint
+from subcort_tpu.models.triplanar import DEFAULT_SPEC, TriPlanarSpec
+from subcort_tpu.parallel import make_mesh, replicated, shard_batch
+
+PATCH = 32
+
+
+# ----------------------------------------------------------------- device gather
+def gather_triplanar_subjects(volumes: jnp.ndarray, centers: jnp.ndarray,
+                              patch: int = PATCH, pad: int = PATCH // 2):
+    """Tri-planar gather from a stacked, pre-padded volume array.
+
+    volumes: (S, X+2*pad, Y+2*pad, Z+2*pad); centers: (B, 4)
+    [subject, x, y, z] in original coordinates. The window for center ``c``
+    spans original ``[c - patch//2, c + patch - patch//2)``; in padded
+    coordinates it starts at ``c + (pad - patch//2)``.
+    """
+    half = patch // 2
+    s = centers[:, 0]
+    base = pad - half
+    cx = centers[:, 1] + base
+    cy = centers[:, 2] + base
+    cz = centers[:, 3] + base
+    offs = jnp.arange(patch, dtype=centers.dtype)
+    xs = cx[:, None] + offs
+    ys = cy[:, None] + offs
+    zs = cz[:, None] + offs
+    xc, yc, zc = cx + half, cy + half, cz + half
+    sb = s[:, None, None]
+    axial = volumes[sb, xs[:, :, None], ys[:, None, :], zc[:, None, None]]
+    coronal = volumes[sb, xs[:, :, None], yc[:, None, None], zs[:, None, :]]
+    sagittal = volumes[sb, xc[:, None, None], ys[:, :, None], zs[:, None, :]]
+    return axial, coronal, sagittal
+
+
+def _augment_views(rng, ax, co, sa):
+    """Reference Rotate_batch_Iterator semantics (nets.py:46-124): on a
+    random half of the batch, each view independently gets one of
+    {rot180, flip(w), rot180+flip(w)}."""
+    b = ax.shape[0]
+    k_sel, *k_views = jax.random.split(rng, 4)
+    selected = jax.random.bernoulli(k_sel, 0.5, (b,))
+
+    def one(view, key):
+        r = jax.random.randint(key, (b,), 0, 3)
+        rot180 = view[:, ::-1, ::-1]
+        flip = view[:, :, ::-1]
+        rot180_flip = rot180[:, :, ::-1]
+        stacked = jnp.stack([rot180, flip, rot180_flip], axis=1)
+        aug = jnp.take_along_axis(
+            stacked, r[:, None, None, None], axis=1)[:, 0]
+        return jnp.where(selected[:, None, None], aug, view)
+
+    return (one(ax, k_views[0]), one(co, k_views[1]), one(sa, k_views[2]))
+
+
+# ----------------------------------------------------------------- step fns
+def make_train_step(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
+                    augment: bool = False):
+    @jax.jit
+    def train_step(params, opt_state, volumes, centers, labels, atlas, rng):
+        rng_aug, rng_drop = jax.random.split(rng)
+
+        def loss_fn(p):
+            ax, co, sa = gather_triplanar_subjects(volumes, centers,
+                                                   patch=spec.patch_size)
+            if augment:
+                ax, co, sa = _augment_views(rng_aug, ax, co, sa)
+            stats = {}
+            logits = model_apply(
+                p, {"axial": ax, "coronal": co, "sagittal": sa, "atlas": atlas},
+                spec=spec, train=True, rng=rng_drop, return_logits=True,
+                batch_stats_out=stats)
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+            return loss, stats
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = update_bn_ema(params, stats, spec)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def make_eval_step(spec: TriPlanarSpec = DEFAULT_SPEC):
+    @jax.jit
+    def eval_step(params, volumes, centers, labels, atlas):
+        ax, co, sa = gather_triplanar_subjects(volumes, centers,
+                                               patch=spec.patch_size)
+        logits = model_apply(
+            params, {"axial": ax, "coronal": co, "sagittal": sa, "atlas": atlas},
+            spec=spec, train=False, return_logits=True)
+        loss_sum = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).sum()
+        correct = jnp.sum(jnp.argmax(logits, axis=1) == labels)
+        return loss_sum, correct
+
+    return eval_step
+
+
+# ----------------------------------------------------------------- split
+def train_split_stratified(labels: np.ndarray, eval_size: float):
+    """nolearn TrainSplit semantics (first fold of an unshuffled stratified
+    k-fold, k = round(1/eval_size)): per class, the first ~1/k occurrences
+    go to validation. Data has already been shuffled once up front
+    (base.py:92-103), so this is effectively a random stratified split."""
+    if eval_size <= 0:
+        return np.arange(len(labels)), np.arange(0)
+    k = max(2, int(round(1.0 / eval_size)))
+    valid = np.zeros(len(labels), bool)
+    for c in np.unique(labels):
+        idx = np.flatnonzero(labels == c)
+        n_valid = int(np.ceil(idx.size / k))
+        valid[idx[:n_valid]] = True
+    return np.flatnonzero(~valid), np.flatnonzero(valid)
+
+
+# ----------------------------------------------------------------- trainer
+class Trainer:
+    """``NeuralNet.fit`` replacement with the reference's epoch protocol.
+
+    Artifacts per experiment (reference: nets/<name>/, nets.py:140-156):
+      <weights_path>/<name>/<name>.pkl           best-only weights
+                                                 (Theano-compatible pickle)
+      <weights_path>/<name>/<name>_history.jsonl per-epoch history
+      <weights_path>/<name>/<name>_state.pkl     full resume state
+                                                 (params+opt+epoch+rng)
+    """
+
+    def __init__(self, options: Options, spec: TriPlanarSpec = DEFAULT_SPEC,
+                 weights_path: str = "nets", params=None,
+                 augment: bool = False, shuffle_each_epoch: bool = False,
+                 n_devices: Optional[int] = None):
+        self.options = options
+        # train with im2col convs: conv-gradient lowering is pathologically
+        # slow on the TPU remote compiler; im2col is all matmuls (see
+        # TriPlanarSpec.conv_impl)
+        if spec.conv_impl != "im2col":
+            import dataclasses as _dc
+            spec = _dc.replace(spec, conv_impl="im2col")
+        self.spec = spec
+        self.augment = augment
+        self.shuffle_each_epoch = shuffle_each_epoch
+        name = options["experiment"]
+        self.exp_dir = os.path.join(weights_path, name)
+        os.makedirs(self.exp_dir, exist_ok=True)
+        self.weights_file = os.path.join(self.exp_dir, f"{name}.pkl")
+        self.history_file = os.path.join(self.exp_dir, f"{name}_history.jsonl")
+        self.state_file = os.path.join(self.exp_dir, f"{name}_state.pkl")
+
+        self.optimizer = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+        self.rng_key = jax.random.key(options["seed"])
+        if params is None:
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            params = init_params(sub, spec)
+        self.params = params
+        self.opt_state = self.optimizer.init(params)
+        self.epoch = 0
+        self.best_valid_loss = float("inf")
+        self.best_epoch = 0
+        self.history = []
+
+        ndev = n_devices if n_devices is not None else options["data_parallel"]
+        self.mesh = make_mesh(max(1, ndev))
+        self._train_step = make_train_step(self.optimizer, spec, augment)
+        self._eval_step = make_eval_step(spec)
+
+        if options.bool("load_weights"):
+            self._try_resume()
+
+    # -------------------------------------------------------------- persistence
+    def _try_resume(self):
+        """Warm start (nets.py:248-253 semantics: silent pass on missing)."""
+        if os.path.exists(self.state_file):
+            with open(self.state_file, "rb") as fh:
+                st = pickle.load(fh)
+            self.params = jax.tree_util.tree_map(jnp.asarray, st["params"])
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                st["opt_state"])
+            self.epoch = st["epoch"]
+            self.best_valid_loss = st["best_valid_loss"]
+            self.best_epoch = st["best_epoch"]
+            self.rng_key = jax.random.wrap_key_data(jnp.asarray(st["rng_key"]))
+            if os.path.exists(self.history_file):
+                with open(self.history_file) as fh:
+                    self.history = [json.loads(l) for l in fh if l.strip()]
+            if self.options["net_verbose"]:
+                print(f"    --> resumed at epoch {self.epoch} from {self.state_file}")
+        elif os.path.exists(self.weights_file):
+            from subcort_tpu.models.importer import load_theano_checkpoint
+            try:
+                self.params = jax.tree_util.tree_map(
+                    jnp.asarray, load_theano_checkpoint(self.weights_file, self.spec))
+                self.opt_state = self.optimizer.init(self.params)
+                if self.options["net_verbose"]:
+                    print("    --> loading weights from", self.weights_file)
+            except Exception:
+                pass  # reference behavior: bare try/except around warm start
+
+    def _save_state(self):
+        to_np = partial(jax.tree_util.tree_map,
+                        lambda x: np.asarray(x) if hasattr(x, "shape") else x)
+        st = {
+            "params": to_np(self.params),
+            "opt_state": to_np(self.opt_state),
+            "epoch": self.epoch,
+            "best_valid_loss": self.best_valid_loss,
+            "best_epoch": self.best_epoch,
+            "rng_key": np.asarray(jax.random.key_data(self.rng_key)),
+        }
+        tmp = self.state_file + ".tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump(st, fh)
+        os.replace(tmp, self.state_file)
+
+    # -------------------------------------------------------------- epoch loop
+    def fit(self, index: TrainingIndex, max_epochs: Optional[int] = None):
+        """Train until max_epochs or early stopping; returns history list."""
+        opts = self.options
+        max_epochs = max_epochs if max_epochs is not None else opts["max_epochs"]
+        patience = opts["patience"]
+        batch_size = opts["batch_size"]
+        verbose = opts["net_verbose"]
+
+        train_idx, valid_idx = train_split_stratified(
+            index.labels, opts["train_split"])
+
+        volumes = jax.device_put(index.volumes, replicated(self.mesh))
+        centers = index.centers
+        labels = index.labels.astype(np.int32)
+        atlas = index.atlas
+
+        ndev = self.mesh.devices.size
+        eval_bs = max(batch_size, 1024 // max(1, 1024 // max(batch_size, 1)))
+        shuffle_rng = np.random.default_rng(opts["seed"] + 1)
+
+        while self.epoch < max_epochs:
+            self.epoch += 1
+            t0 = time.time()
+            order = train_idx
+            if self.shuffle_each_epoch:
+                order = shuffle_rng.permutation(train_idx)
+
+            # ---- train epoch
+            losses = []
+            n_full = (len(order) // (batch_size * ndev)) * batch_size * ndev
+            for i in range(0, n_full, batch_size * ndev):
+                sl = order[i:i + batch_size * ndev]
+                b = shard_batch(
+                    {"centers": centers[sl], "labels": labels[sl],
+                     "atlas": atlas[sl]}, self.mesh)
+                self.rng_key, sub = jax.random.split(self.rng_key)
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, volumes,
+                    b["centers"], b["labels"], b["atlas"], sub)
+                losses.append(loss)
+            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else float("nan")
+
+            # ---- validation
+            vloss, vcorrect, vcount = 0.0, 0, 0
+            for i in range(0, len(valid_idx), eval_bs):
+                sl = valid_idx[i:i + eval_bs]
+                ls, cs = self._eval_step(self.params, volumes,
+                                         jnp.asarray(centers[sl]),
+                                         jnp.asarray(labels[sl]),
+                                         jnp.asarray(atlas[sl]))
+                vloss += float(ls)
+                vcorrect += int(cs)
+                vcount += len(sl)
+            valid_loss = vloss / max(vcount, 1)
+            valid_acc = vcorrect / max(vcount, 1)
+            dur = time.time() - t0
+
+            improved = valid_loss < self.best_valid_loss
+            if improved:
+                self.best_valid_loss = valid_loss
+                self.best_epoch = self.epoch
+                # SaveWeights(only_best=True): reference-format pickle
+                save_theano_checkpoint(
+                    jax.tree_util.tree_map(np.asarray, self.params),
+                    self.weights_file, self.spec)
+
+            rec = {
+                "epoch": self.epoch,
+                "train_loss": train_loss,
+                "valid_loss": valid_loss,
+                "valid_accuracy": valid_acc,
+                "train_loss_best": bool(train_loss <= min(
+                    [h["train_loss"] for h in self.history] + [train_loss])),
+                "valid_loss_best": bool(improved),
+                "valid_accuracy_best": bool(valid_acc >= max(
+                    [h["valid_accuracy"] for h in self.history] + [valid_acc])),
+                "dur": dur,
+            }
+            self.history.append(rec)
+            with open(self.history_file, "a") as fh:
+                fh.write(json.dumps(rec) + "\n")
+            self._save_state()
+
+            if verbose:
+                print(f"  epoch {self.epoch:4d}  train_loss {train_loss:.5f}  "
+                      f"valid_loss {valid_loss:.5f}  valid_acc {valid_acc:.5f}  "
+                      f"{'*' if improved else ' '}  {dur:.1f}s")
+
+            # EarlyStopping(patience): stop when no improvement for `patience`
+            if self.epoch >= self.best_epoch + patience:
+                if verbose:
+                    print(f"  early stopping: best epoch {self.best_epoch} "
+                          f"(valid_loss {self.best_valid_loss:.5f})")
+                break
+
+        return self.history

@@ -1,0 +1,173 @@
+"""À-trous fully-convolutional evaluator — the fast inference path.
+
+The reference (and our patch engine) evaluates the CNN once per candidate
+voxel on a gathered 32x32 patch; neighboring patches share 97% of their
+pixels, so per-patch evaluation redoes ~1000x the necessary conv work, and
+on TPU the patch *gather* itself is scalar-indexed and slow. This module
+evaluates each 2D branch *densely* over whole slices using the standard
+"à trous" (dilated-conv) transformation of a stride-2-pooled patch network,
+producing per-pixel 180-d features that are bit-equivalent (up to float
+reassociation) to running the patch branch at every pixel:
+
+    patch net                      dense equivalent (all VALID)
+    ---------                      ---------------------------
+    conv1 3x3                      conv 3x3, dilation 1
+    conv2 3x3                      conv 3x3, dilation 1
+    maxpool k2 s2                  maxpool k2, stride 1, dilation 1
+    conv3 3x3                      conv 3x3, dilation 2
+    conv4 3x3                      conv 3x3, dilation 2
+    maxpool k2 s2                  maxpool k2, stride 1, dilation 2
+    conv5 3x3                      conv 3x3, dilation 4
+    dense 540->180                 conv 3x3, dilation 4, 60->180 channels
+                                   (the (540,180) weight IS the (3,3,60,180)
+                                   kernel in our (h,w,c) flatten order)
+
+For an input slab of spatial extent (H+31, W+31), the dense output has
+extent (H, W) and output (i, j) equals the patch-branch output for the
+patch centered at (x0+i, y0+j) where the slab starts at original
+coordinate (x0-16, y0-16). Receptive field = 31 = patch 32 minus the
+even-patch asymmetry (centers sit at index 16 of 0..31: the window is
+[c-16, c+15]).
+
+This turns inference into large NHWC convs that tile onto the MXU —
+~140k MACs/voxel/view instead of ~6.6M, and no gathers at all. Equality
+with the patch path is pinned by tests/test_fcn.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from subcort_tpu.models.triplanar import (DEFAULT_SPEC, TriPlanarSpec, _dense,
+                                          _prelu)
+
+RF = 31  # receptive field of the dense branch (patch 32, even-centered)
+HALF = 16
+
+
+def _conv_dil(x, w, dil):
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="VALID",
+        rhs_dilation=(dil, dil),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+        precision=lax.Precision.HIGHEST)
+
+
+def _pool_dil(x, dil):
+    """max over 2 taps `dil` apart, stride 1 (dense form of k2-s2 pooling)."""
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 1, 1, 1),
+        window_dilation=(1, dil, dil, 1), padding="VALID")
+
+
+def _bn(x, bn):
+    return (x - bn["mean"]) * (bn["inv_std"] * bn["gamma"]) + bn["beta"]
+
+
+def dense_branch_features(bp, slab: jnp.ndarray,
+                          spec: TriPlanarSpec = DEFAULT_SPEC) -> jnp.ndarray:
+    """One branch evaluated densely.
+
+    slab: (B, H+RF, W+RF, 1) image planes (normalized intensities, with the
+    16-voxel patch context included). Returns (B, H, W, fc_conv) per-pixel
+    branch features.
+    """
+    x = slab
+    dils = (1, 1, 2, 2, 4)
+    for i, d in zip(range(1, 6), dils):
+        x = _conv_dil(x, bp[f"conv{i}"]["w"], d)
+        x = _bn(x, bp[f"bn{i}"])
+        x = _prelu(x, bp[f"prelu{i}"])
+        if i == 2:
+            x = _pool_dil(x, 1)
+        elif i == 4:
+            x = _pool_dil(x, 2)
+    # dense 540->180 as 3x3 dilation-4 conv: our d1 rows are (h, w, c)
+    # flatten order, so the reshape below is exactly the HWIO kernel.
+    w = bp["d1"]["w"].reshape(3, 3, -1, bp["d1"]["w"].shape[1])
+    x = _conv_dil(x, w, 4) + bp["d1"]["b"]
+    return _prelu(x, bp["prelu_d1"])
+
+
+@partial(jax.jit, static_argnames=("bbox_shape", "want_probs", "spec", "head_chunk"))
+def fcn_forward_bbox(params, padded_vol: jnp.ndarray,
+                     bbox_origin: jnp.ndarray, bbox_shape: Tuple[int, int, int],
+                     atlas_vecs: jnp.ndarray, want_probs: bool = False,
+                     spec: TriPlanarSpec = DEFAULT_SPEC,
+                     head_chunk: int = 65536):
+    """Dense tri-planar forward over a bounding box of the volume.
+
+    Args:
+      padded_vol: (X+2h, Y+2h, Z+2h) volume from ops.patches.pad_volume.
+      bbox_origin: (3,) int32 original-space origin (x0, y0, z0).
+      bbox_shape: static (bx, by, bz).
+      atlas_vecs: (bx*by*bz, 15) prior vectors for every bbox voxel in
+        C-order (x-major), background-fixed on host.
+
+    Returns (labels (bx,by,bz) uint8, probs (bx*by*bz, 15) or dummy).
+
+    The three view features are computed with three dense conv sweeps
+    (batched over the orthogonal axis), aligned so that
+    feature[x, y, z] == branch(patch centered at (x0+x, y0+y, z0+z)).
+    The head MLP runs as a lax.scan over voxel chunks to bound HBM temps.
+    """
+    bx, by, bz = bbox_shape
+    x0, y0, z0 = bbox_origin[0], bbox_origin[1], bbox_origin[2]
+
+    # slab extraction from the padded volume: padded index = original + h;
+    # the slab must start at original (x0 - HALF) -> padded x0.
+    def dyn(vol, start, sizes):
+        return lax.dynamic_slice(vol, start, sizes)
+
+    # axial: batch over z, planes (x, y)
+    ax_slab = dyn(padded_vol, (x0, y0, z0 + HALF), (bx + RF, by + RF, bz))
+    ax_in = jnp.transpose(ax_slab, (2, 0, 1))[..., None]         # (bz, bx+RF, by+RF, 1)
+    fa = dense_branch_features(params["axial"], ax_in, spec)      # (bz, bx, by, F)
+    fa = jnp.transpose(fa, (1, 2, 0, 3))                          # (bx, by, bz, F)
+
+    # coronal: batch over y, planes (x, z)
+    co_slab = dyn(padded_vol, (x0, y0 + HALF, z0), (bx + RF, by, bz + RF))
+    co_in = jnp.transpose(co_slab, (1, 0, 2))[..., None]          # (by, bx+RF, bz+RF, 1)
+    fc = dense_branch_features(params["coronal"], co_in, spec)    # (by, bx, bz, F)
+    fc = jnp.transpose(fc, (1, 0, 2, 3))                          # (bx, by, bz, F)
+
+    # sagittal: batch over x, planes (y, z)
+    sa_slab = dyn(padded_vol, (x0 + HALF, y0, z0), (bx, by + RF, bz + RF))
+    sa_in = sa_slab[..., None]                                    # (bx, by+RF, bz+RF, 1)
+    fs = dense_branch_features(params["sagittal"], sa_in, spec)   # (bx, by, bz, F)
+
+    feats = jnp.concatenate([fa, fc, fs], axis=-1)                # (bx, by, bz, 3F)
+    n = bx * by * bz
+    feats = feats.reshape(n, feats.shape[-1])
+
+    # pad voxel axis to a chunk multiple for the scanned head
+    n_chunks = -(-n // head_chunk)
+    pad = n_chunks * head_chunk - n
+    feats = jnp.pad(feats, ((0, pad), (0, 0)))
+    atlas = jnp.pad(atlas_vecs, ((0, pad), (0, 0)))
+    feats = feats.reshape(n_chunks, head_chunk, -1)
+    atlas = atlas.reshape(n_chunks, head_chunk, -1)
+
+    h = params["head"]
+
+    def head(carry, inp):
+        f, at = inp
+        y = _prelu(_dense(f, h["fc1"]["w"], h["fc1"]["b"]), h["prelu_f1"])
+        y = jnp.concatenate([y, at.astype(y.dtype)], axis=1)
+        y = _prelu(_dense(y, h["fc2"]["w"], h["fc2"]["b"]), h["prelu_f2"])
+        logits = _dense(y, h["out"]["w"], h["out"]["b"])
+        lab = jnp.argmax(logits, axis=1).astype(jnp.uint8)
+        pr = jax.nn.softmax(logits, axis=-1) if want_probs else jnp.zeros((), jnp.float32)
+        return carry, (lab, pr)
+
+    _, (labels, probs) = lax.scan(head, None, (feats, atlas))
+    labels = labels.reshape(-1)[:n].reshape(bx, by, bz)
+    probs = probs.reshape(-1, probs.shape[-1])[:n] if want_probs else probs
+    return labels, probs

@@ -73,6 +73,12 @@ class TriPlanarSpec:
     dropout_fc: float = 0.5
     bn_epsilon: float = 1e-4    # Lasagne BatchNormLayer default
     bn_alpha: float = 1e-2      # Lasagne running-average coefficient
+    # conv lowering: 'xla' = lax.conv_general_dilated (best for forward-only
+    # inference); 'im2col' = static-slice + matmul (used for training: this
+    # TPU stack's conv *gradient* lowering is pathologically slow/hangs in
+    # the remote compiler, while matmul gradients compile instantly — and
+    # with 1-60 channels the im2col matmul tiles the MXU better anyway).
+    conv_impl: str = "xla"
 
     @property
     def branch_flat(self) -> int:
@@ -81,6 +87,10 @@ class TriPlanarSpec:
         s = (s - 2 - 2) // 2
         s = (s - 2 - 2) // 2
         s = s - 2
+        if s <= 0:
+            raise ValueError(
+                f"patch_size={self.patch_size} too small for the conv stack "
+                f"(two 2x pools + five valid 3x3 convs need >= 24)")
         return s * s * self.conv_filters[4]
 
 
@@ -183,6 +193,31 @@ def _dense(x, w, b):
                            preferred_element_type=x.dtype) + b
 
 
+def _conv2d_valid_im2col(x, w):
+    """3x3 valid conv as 9 static slices + one matmul.
+
+    Same math as :func:`_conv2d_valid` (tolerances: float reassociation
+    only). All forward/backward ops are slices, pads and dot_generals —
+    which both compile fast and run well on the MXU for small channel
+    counts. (h, w) tap order matches the HWIO kernel layout.
+    """
+    n, h, wd, c = x.shape
+    kh, kw, _, o = w.shape
+    oh, ow = h - kh + 1, wd - kw + 1
+    taps = [x[:, i:i + oh, j:j + ow, :] for i in range(kh) for j in range(kw)]
+    patches = jnp.stack(taps, axis=3)                    # (N, oh, ow, 9, C)
+    lhs = patches.reshape(n * oh * ow, kh * kw * c)
+    rhs = w.reshape(kh * kw * c, o)
+    out = lax.dot_general(lhs, rhs, (((1,), (0,)), ((), ())),
+                          precision=lax.Precision.HIGHEST,
+                          preferred_element_type=x.dtype)
+    return out.reshape(n, oh, ow, o)
+
+
+def _conv(x, w, impl: str):
+    return _conv2d_valid_im2col(x, w) if impl == "im2col" else _conv2d_valid(x, w)
+
+
 def _maxpool2(x):
     """2x2 max pool, stride 2, floor mode (Lasagne MaxPool2DLayer default)."""
     return lax.reduce_window(
@@ -221,7 +256,7 @@ def apply_branch(bp: Params, x: jnp.ndarray, spec: TriPlanarSpec = DEFAULT_SPEC,
     update in the caller.
     """
     for i in (1, 2, 3, 4, 5):
-        x = _conv2d_valid(x, bp[f"conv{i}"]["w"])
+        x = _conv(x, bp[f"conv{i}"]["w"], spec.conv_impl)
         if train:
             x, m, s = _bn_train(x, bp[f"bn{i}"], spec, axes=(0, 1, 2))
             if new_stats is not None:

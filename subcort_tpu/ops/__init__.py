@@ -1,0 +1,14 @@
+from subcort_tpu.ops.normalize import normalize_nonzero  # noqa: F401
+from subcort_tpu.ops.patches import (  # noqa: F401
+    PATCH,
+    HALF,
+    gather_atlas_vectors,
+    gather_triplanar,
+    pad_volume,
+)
+from subcort_tpu.ops.sampling import (  # noqa: F401
+    balanced_negative_sample,
+    get_mask_voxels,
+    shuffle_consistent,
+)
+from subcort_tpu.ops.scatter import scatter_labels, scatter_probs  # noqa: F401

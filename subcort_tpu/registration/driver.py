@@ -1,0 +1,142 @@
+"""Registration orchestrator (layer L2).
+
+Reference counterpart: ``register_masks`` (cnn_cort/base.py:483-551) — the
+subprocess pipeline that registers the MNI template onto a subject T1 and
+warps the 15-channel probabilistic subcortical atlas into subject space.
+The file/cache contract is preserved exactly:
+
+    <scan_dir>/tmp/transf.txt                  affine (reg_aladin)
+    <scan_dir>/tmp/rT1_template.nii.gz         affinely resampled template
+    <scan_dir>/tmp/transform.nii               B-spline control grid (reg_f3d)
+    <scan_dir>/tmp/rT1d_template.nii.gz        deformably resampled template
+    <scan_dir>/tmp/MNI_sub_probabilities.nii.gz  (X,Y,Z,15) priors
+    <scan_dir>/tmp/MNI_subcortical_mask.nii.gz   dilated binary ROI
+
+with the same stage-wise idempotence (each stage skipped when its product
+exists — a killed run resumes, base.py:508,516,526). The C++ tools live in
+``tools/`` (built from ``native/``) and speak the same CLI as NiftyReg.
+
+Atlas assets (``T1_template.nii.gz``, ``atlas_subcortical_MNI.nii.gz``
+(X,Y,Z,15), channel 14 = background) are external data — the reference
+ships them via git-LFS (absent from this mount, .MISSING_LARGE_BLOBS).
+Their directory is resolved from, in order: the ``atlas_dir`` argument,
+``$SUBCORT_ATLAS_DIR``, ``subcort_tpu/atlases/``.
+
+Improvements over the reference, each behind a flag:
+- the 15 prior channels are warped in ONE 4D reg_resample call instead of
+  15 single-channel subprocess round-trips (``per_channel=True`` restores
+  the reference's loop);
+- the binary ROI mask sums channels 0:14; the reference sums 0:13,
+  excluding structure 13 (SURVEY.md §2.3-6) — ``bugcompat_mask_channels``
+  (default True, to match the shipped masks) reproduces that.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import time
+
+import numpy as np
+from scipy import ndimage
+
+from subcort_tpu.io import NiftiImage, load_nii, save_nii
+
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(_PKG_DIR)
+DEFAULT_TOOLS_DIR = os.path.join(_REPO_DIR, "tools")
+DEFAULT_ATLAS_DIR = os.path.join(_PKG_DIR, "atlases")
+
+TEMPLATE_NAME = "T1_template.nii.gz"
+ATLAS_NAME = "atlas_subcortical_MNI.nii.gz"
+
+
+class RegistrationError(RuntimeError):
+    pass
+
+
+def _resolve_atlas_dir(atlas_dir: str | None) -> str:
+    for cand in (atlas_dir, os.environ.get("SUBCORT_ATLAS_DIR"), DEFAULT_ATLAS_DIR):
+        if cand and os.path.exists(os.path.join(cand, TEMPLATE_NAME)):
+            return cand
+    raise RegistrationError(
+        "atlas assets not found (T1_template.nii.gz / "
+        "atlas_subcortical_MNI.nii.gz). They are external data (git-LFS in "
+        "the reference). Set SUBCORT_ATLAS_DIR or pass atlas_dir; for tests "
+        "use subcort_tpu.registration.atlas.make_synthetic_atlas().")
+
+
+def _run(cmd: list[str]) -> None:
+    r = subprocess.run(cmd, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.PIPE, text=True)
+    if r.returncode != 0:
+        raise RegistrationError(f"{cmd[0]} failed ({r.returncode}): {r.stderr[-800:]}")
+
+
+def register_masks(input_scan: str, atlas_dir: str | None = None,
+                   tools_dir: str | None = None, per_channel: bool = False,
+                   bugcompat_mask_channels: bool = True,
+                   dilate_iters: int = 5) -> float:
+    """Register the MNI atlas into subject space; returns elapsed seconds
+    (the reference returns seconds too and the caller prints minutes)."""
+    image_dir, _ = os.path.split(os.path.abspath(input_scan))
+    tmp = os.path.join(image_dir, "tmp")
+    os.makedirs(tmp, exist_ok=True)
+    tools = tools_dir or DEFAULT_TOOLS_DIR
+    atlases = _resolve_atlas_dir(atlas_dir)
+    template = os.path.join(atlases, TEMPLATE_NAME)
+    atlas4d = os.path.join(atlases, ATLAS_NAME)
+    s_time = time.time()
+
+    transf = os.path.join(tmp, "transf.txt")
+    cpp = os.path.join(tmp, "transform.nii")
+
+    # stage 1: affine (block matching)
+    if not os.path.exists(os.path.join(tmp, "rT1_template.nii.gz")):
+        _run([os.path.join(tools, "reg_aladin"),
+              "-ref", input_scan, "-flo", template,
+              "-aff", transf,
+              "-res", os.path.join(tmp, "rT1_template.nii.gz")])
+
+    # stage 2: deformable (B-spline FFD)
+    if not os.path.exists(os.path.join(tmp, "rT1d_template.nii.gz")):
+        _run([os.path.join(tools, "reg_f3d"),
+              "-ref", input_scan, "-flo", template,
+              "-aff", transf, "-cpp", cpp,
+              "-res", os.path.join(tmp, "rT1d_template.nii.gz")])
+
+    # stage 3: warp the 15 prior channels + build the binary ROI mask
+    prior_path = os.path.join(tmp, "MNI_sub_probabilities.nii.gz")
+    if not os.path.exists(prior_path):
+        t1 = load_nii(input_scan)
+        if per_channel:
+            # reference loop (base.py:530-538): one resample per channel
+            atlas_img = load_nii(atlas4d)
+            s_atlas = np.zeros(t1.shape + (15,), np.float32)
+            for st in range(15):
+                chan = os.path.join(tmp, "tmp.nii.gz")
+                save_nii(NiftiImage(atlas_img.data[:, :, :, st],
+                                    atlas_img.affine), chan)
+                _run([os.path.join(tools, "reg_resample"),
+                      "-ref", input_scan, "-flo", chan,
+                      "-trans", cpp,
+                      "-res", os.path.join(tmp, "r_tmp.nii.gz")])
+                s_atlas[:, :, :, st] = load_nii(
+                    os.path.join(tmp, "r_tmp.nii.gz")).data.astype(np.float32)
+        else:
+            _run([os.path.join(tools, "reg_resample"),
+                  "-ref", input_scan, "-flo", atlas4d,
+                  "-trans", cpp,
+                  "-res", os.path.join(tmp, "r_atlas4d.nii.gz")])
+            s_atlas = np.asarray(load_nii(
+                os.path.join(tmp, "r_atlas4d.nii.gz")).data, np.float32)
+
+        save_nii(NiftiImage(s_atlas, t1.affine), prior_path)
+
+        hi = 13 if bugcompat_mask_channels else 14  # §2.3-6
+        mask = np.sum(s_atlas[:, :, :, 0:hi], axis=3) > 0
+        dilated = ndimage.binary_dilation(mask, iterations=dilate_iters)
+        save_nii(NiftiImage(dilated.astype(np.float32), t1.affine),
+                 os.path.join(tmp, "MNI_subcortical_mask.nii.gz"))
+
+    return time.time() - s_time

@@ -1,0 +1,146 @@
+"""Device-side resampling backend.
+
+A pure-JAX twin of ``tools/reg_resample`` (trilinear pull-resampling through
+either a world affine or a SUBCORT_CPP B-spline control grid — see
+native/src/geometry.hpp for the transform contracts). Used to warp the
+15 prior channels on TPU in one fused program, and as a differentiable
+resampler for future on-device registration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from subcort_tpu.io import load_nii
+
+
+class CppGrid(NamedTuple):
+    """Control-point displacement grid (matches geometry.hpp::CppGrid)."""
+    disp: jnp.ndarray       # (ncx, ncy, ncz, 3) world displacements
+    spacing: float          # in reference voxel units
+    ref_affine: np.ndarray  # (4, 4)
+
+
+def load_cpp_grid(path: str, ref_affine: np.ndarray) -> CppGrid:
+    """Read a transform.nii written by reg_f3d (5D (ncx,ncy,ncz,1,3))."""
+    img = load_nii(path)
+    if img.data.ndim != 5 or img.data.shape[3] != 1 or img.data.shape[4] != 3:
+        raise ValueError(f"{path}: not a SUBCORT_CPP control grid")
+    disp = np.asarray(img.data[:, :, :, 0, :], np.float32)
+    gs = np.linalg.norm(img.affine[:3, 0])
+    rs = np.linalg.norm(np.asarray(ref_affine)[:3, 0]) or 1.0
+    return CppGrid(jnp.asarray(disp), float(gs / rs), np.asarray(ref_affine))
+
+
+def _bspline_weights(t: jnp.ndarray):
+    t2, t3 = t * t, t * t * t
+    return jnp.stack([(1 - 3 * t + 3 * t2 - t3) / 6.0,
+                      (4 - 6 * t2 + 3 * t3) / 6.0,
+                      (1 + 3 * t + 3 * t2 - 3 * t3) / 6.0,
+                      t3 / 6.0], axis=-1)
+
+
+def _trilinear(vol: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """vol (X,Y,Z[,C]); coords (..., 3) voxel coordinates; zeros outside."""
+    shape = jnp.asarray(vol.shape[:3])
+    c0 = jnp.floor(coords)
+    f = coords - c0
+    c0 = c0.astype(jnp.int32)
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                ci = c0 + jnp.asarray([dx, dy, dz])
+                w = ((f[..., 0] if dx else 1 - f[..., 0]) *
+                     (f[..., 1] if dy else 1 - f[..., 1]) *
+                     (f[..., 2] if dz else 1 - f[..., 2]))
+                inb = jnp.all((ci >= 0) & (ci < shape), axis=-1)
+                cc = jnp.clip(ci, 0, shape - 1)
+                v = vol[cc[..., 0], cc[..., 1], cc[..., 2]]
+                if vol.ndim == 4:
+                    w = w[..., None]
+                    inb = inb[..., None]
+                out = out + jnp.where(inb, w * v, 0.0)
+    return out
+
+
+def _ref_world_coords(ref_shape: Tuple[int, int, int], ref_affine) -> jnp.ndarray:
+    gx, gy, gz = jnp.meshgrid(jnp.arange(ref_shape[0]), jnp.arange(ref_shape[1]),
+                              jnp.arange(ref_shape[2]), indexing="ij")
+    vox = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], axis=-1).astype(jnp.float32)
+    return jnp.einsum("ij,xyzj->xyzi", jnp.asarray(ref_affine, jnp.float32), vox)[..., :3]
+
+
+@partial(jax.jit, static_argnames=("ref_shape",))
+def _resample_affine(flo, affine, flo_inv, ref_affine, ref_shape):
+    w = _ref_world_coords(ref_shape, ref_affine)
+    fw = jnp.einsum("ij,xyzj->xyzi",
+                    jnp.asarray(affine, jnp.float32)[:3, :],
+                    jnp.concatenate([w, jnp.ones(w.shape[:-1] + (1,))], axis=-1))
+    fv = jnp.einsum("ij,xyzj->xyzi",
+                    jnp.asarray(flo_inv, jnp.float32)[:3, :],
+                    jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], axis=-1))
+    return _trilinear(flo, fv)
+
+
+def resample_through_affine(flo: np.ndarray, flo_affine: np.ndarray,
+                            affine: np.ndarray, ref_shape, ref_affine) -> np.ndarray:
+    """Pull-resample ``flo`` (3D or 4D multichannel) into the reference grid
+    through a world affine (flo_world = A . ref_world)."""
+    flo_inv = np.linalg.inv(np.asarray(flo_affine))
+    out = _resample_affine(jnp.asarray(np.asarray(flo, np.float32)),
+                           np.asarray(affine, np.float32), flo_inv,
+                           np.asarray(ref_affine, np.float32),
+                           tuple(int(s) for s in ref_shape))
+    return np.asarray(out)
+
+
+@partial(jax.jit, static_argnames=("ref_shape",))
+def _resample_cpp(flo, disp, spacing, flo_inv, ref_affine, ref_shape):
+    # B-spline displacement at every ref voxel (separable weights)
+    def axis_w(n):
+        u = jnp.arange(n, dtype=jnp.float32) / spacing
+        b = jnp.floor(u).astype(jnp.int32)
+        return b, _bspline_weights(u - b)
+
+    bx, wx = axis_w(ref_shape[0])
+    by, wy = axis_w(ref_shape[1])
+    bz, wz = axis_w(ref_shape[2])
+
+    ncx, ncy, ncz = disp.shape[:3]
+    d = 0.0
+    for a in range(4):
+        for b in range(4):
+            for g in range(4):
+                ix = jnp.clip(bx + a, 0, ncx - 1)
+                iy = jnp.clip(by + b, 0, ncy - 1)
+                iz = jnp.clip(bz + g, 0, ncz - 1)
+                w = (wx[:, a][:, None, None] * wy[:, b][None, :, None] *
+                     wz[:, g][None, None, :])
+                d = d + w[..., None] * disp[ix[:, None, None],
+                                            iy[None, :, None],
+                                            iz[None, None, :], :]
+
+    w = _ref_world_coords(ref_shape, ref_affine)
+    fw = w + d
+    fv = jnp.einsum("ij,xyzj->xyzi",
+                    jnp.asarray(flo_inv, jnp.float32)[:3, :],
+                    jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], axis=-1))
+    return _trilinear(flo, fv)
+
+
+def resample_through_cpp(flo: np.ndarray, flo_affine: np.ndarray,
+                         grid: CppGrid, ref_shape, ref_affine) -> np.ndarray:
+    """Pull-resample through a B-spline control grid (all channels fused —
+    the reference's 15-subprocess loop becomes one device program)."""
+    flo_inv = np.linalg.inv(np.asarray(flo_affine))
+    out = _resample_cpp(jnp.asarray(np.asarray(flo, np.float32)), grid.disp,
+                        jnp.float32(grid.spacing), flo_inv,
+                        np.asarray(ref_affine, np.float32),
+                        tuple(int(s) for s in ref_shape))
+    return np.asarray(out)

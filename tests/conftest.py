@@ -12,6 +12,16 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The session's sitecustomize imports jax at interpreter start and may pin
+# the default platform via jax.config (overriding the env var). As long as
+# no backend is initialized yet, flipping the config back wins.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    f"tests must run on the CPU mesh, got {jax.devices()}")
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

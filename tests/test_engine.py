@@ -1,0 +1,180 @@
+"""End-to-end inference-engine tests on synthetic NIfTI phantoms
+(SURVEY.md §4: pipeline tests without real data)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from subcort_tpu.config import Options
+from subcort_tpu.engine import (SegmentationEngine, load_test_names,
+                                post_process_segmentation, segment_volume,
+                                test_scan)
+from subcort_tpu.io import NiftiImage, load_nii, save_nii
+from subcort_tpu.models import init_params, load_theano_checkpoint, predict
+from subcort_tpu.ops import normalize_nonzero
+from subcort_tpu.ops.patches import gather_triplanar_np
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(7))
+
+
+@pytest.fixture()
+def phantom(rng):
+    """Synthetic T1 + prior atlas + atlas mask."""
+    image = (rng.random((36, 40, 32)) * 800 + 100).astype(np.float32)
+    image[:4] = 0  # background border
+    atlas = rng.random((36, 40, 32, 15)).astype(np.float32)
+    atlas /= atlas.sum(axis=-1, keepdims=True)
+    mask = np.zeros((36, 40, 32), np.uint8)
+    mask[12:24, 14:28, 10:22] = 1
+    return image, atlas, mask
+
+
+def _slow_labels(params, image, atlas, centers):
+    """Host-side slow path: numpy gather + jitted forward, no scan/scatter."""
+    norm, _, _ = normalize_nonzero(image)
+    ax, co, sa = gather_triplanar_np(norm, centers)
+    vec = atlas[centers[:, 0], centers[:, 1], centers[:, 2]].copy()
+    empty = vec.sum(1) == 0
+    vec[empty] = 0
+    vec[empty, 14] = 1
+    y = predict(params, {"axial": ax, "coronal": co, "sagittal": sa,
+                         "atlas": vec})
+    return np.asarray(y).astype(np.uint8)
+
+
+def test_segment_volume_matches_slow_path(params, phantom, rng):
+    image, atlas, _ = phantom
+    centers = np.stack([rng.integers(0, s, 300) for s in image.shape],
+                       axis=1).astype(np.int32)
+    centers = np.unique(centers, axis=0)
+    label_vol, prob_vol = segment_volume(params, image, atlas, centers,
+                                         want_probs=True, chunk=128)
+    want = _slow_labels(params, image, atlas, centers)
+    got = label_vol[centers[:, 0], centers[:, 1], centers[:, 2]]
+    np.testing.assert_array_equal(got, want)
+    # voxels never requested stay background
+    untouched = np.ones(image.shape, bool)
+    untouched[centers[:, 0], centers[:, 1], centers[:, 2]] = False
+    assert label_vol[untouched].sum() == 0
+    # prob volume: rows at centers sum to 1
+    pr = prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]]
+    np.testing.assert_allclose(pr.sum(1), 1.0, atol=1e-4)
+
+
+def _write_subject(tmp_path, name, image, atlas, mask):
+    sub = tmp_path / name
+    (sub / "tmp").mkdir(parents=True)
+    save_nii(NiftiImage(image), str(sub / "T1.nii.gz"))
+    save_nii(NiftiImage(atlas), str(sub / "tmp" / "MNI_sub_probabilities.nii.gz"))
+    save_nii(NiftiImage(mask), str(sub / "tmp" / "MNI_subcortical_mask.nii.gz"))
+    return sub
+
+
+def test_test_scan_file_contract(params, phantom, tmp_path):
+    """Output filenames/shapes per base.py:445-455."""
+    image, atlas, mask = phantom
+    sub = _write_subject(tmp_path, "subj01", image, atlas, mask)
+    opts = Options(post_process=True, out_probabilities=True, crop=True,
+                   debug=False)
+    minutes = test_scan(params, str(sub / "T1.nii.gz"), opts)
+    assert minutes >= 0
+    seg = load_nii(str(sub / "out_subcortical_seg_prec.nii.gz"))
+    assert seg.shape == image.shape
+    prob = load_nii(str(sub / "out_subcortical_prob.nii.gz"))
+    assert prob.shape == image.shape + (15,)
+    assert not os.path.exists(str(sub / "out_subcortical_rawseg.nii.gz"))
+
+
+def test_test_scan_rawseg_when_no_postprocess(params, phantom, tmp_path):
+    image, atlas, mask = phantom
+    sub = _write_subject(tmp_path, "subj02", image, atlas, mask)
+    opts = Options(post_process=False, out_probabilities=False, crop=False,
+                   debug=False)
+    test_scan(params, str(sub / "T1.nii.gz"), opts)
+    raw = load_nii(str(sub / "out_subcortical_rawseg.nii.gz"))
+    assert raw.shape == image.shape
+    assert not os.path.exists(str(sub / "out_subcortical_seg_prec.nii.gz"))
+    # crop=False classifies every nonzero voxel; zero-intensity border voxels
+    # are never candidates
+    assert raw.data[image == 0].sum() == 0
+
+
+def test_engine_folder_sweep(params, phantom, tmp_path):
+    image, atlas, mask = phantom
+    _write_subject(tmp_path, "s1", image, atlas, mask)
+    _write_subject(tmp_path, "s2", image, atlas, mask)
+    opts = Options(test_folder=str(tmp_path), post_process=False,
+                   out_probabilities=False, crop=True, debug=False)
+    names, subjects = load_test_names(opts)
+    assert subjects == ["s1", "s2"]
+    engine = SegmentationEngine(params, opts)
+    times = engine.segment_folder()
+    assert set(times) == {"s1", "s2"}
+    for s in subjects:
+        assert os.path.exists(str(tmp_path / s / "out_subcortical_rawseg.nii.gz"))
+
+
+def test_segment_volume_fcn_matches_patch_engine(params, phantom, rng):
+    """The dense (à-trous) engine and the patch engine must agree exactly
+    on labels and probabilities at every candidate voxel."""
+    image, atlas, mask = phantom
+    centers = np.stack(np.nonzero(mask), axis=1).astype(np.int32)
+    lv_p, pv_p = segment_volume(params, image, atlas, centers,
+                                want_probs=True, chunk=256, engine="patch")
+    lv_f, pv_f = segment_volume(params, image, atlas, centers,
+                                want_probs=True, engine="fcn")
+    np.testing.assert_array_equal(lv_f, lv_p)
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    np.testing.assert_allclose(pv_f[sel], pv_p[sel], atol=2e-4, rtol=1e-3)
+
+
+# ------------------------------------------------------------------ postprocess
+def test_postprocess_keeps_atlas_overlapping_component():
+    vol = np.zeros((20, 20, 20), np.uint8)
+    vol[2:5, 2:5, 2:5] = 1       # component A (far from atlas)
+    vol[12:18, 12:18, 12:18] = 1  # component B (in atlas, larger)
+    atlas = np.zeros_like(vol)
+    atlas[10:20, 10:20, 10:20] = 1
+    out = post_process_segmentation(None, vol, atlas_mask=atlas)
+    assert (out[12:18, 12:18, 12:18] == 1).all()
+    assert out[2:5, 2:5, 2:5].sum() == 0
+
+
+def test_postprocess_no_overlap_keeps_largest():
+    vol = np.zeros((20, 20, 20), np.uint8)
+    vol[2:4, 2:4, 2:4] = 3
+    vol[10:16, 10:16, 10:16] = 3
+    atlas = np.zeros_like(vol)  # nothing overlaps
+    out = post_process_segmentation(None, vol, atlas_mask=atlas)
+    assert (out[10:16, 10:16, 10:16] == 3).all()
+    assert out[2:4, 2:4, 2:4].sum() == 0
+
+
+def test_postprocess_bugcompat_reproduces_reference_quirk():
+    """SURVEY.md §2.3-7: with no atlas overlap the reference paints the
+    background region (argmax lands on component 0)."""
+    vol = np.zeros((10, 10, 10), np.uint8)
+    vol[2:4, 2:4, 2:4] = 5
+    atlas = np.zeros_like(vol)
+    out = post_process_segmentation(None, vol, atlas_mask=atlas,
+                                    bugcompat_argmax=True)
+    # every class 1..14 in turn paints the background region (argmax -> 0),
+    # so the last class (14) ends up everywhere — the reference's behavior.
+    assert out[0, 0, 0] == 14
+    assert (out == 14).all()
+    # sane mode leaves the volume clean instead
+    sane = post_process_segmentation(None, vol, atlas_mask=atlas)
+    assert (sane[vol == 0] == 0).all()
+
+
+def test_postprocess_absent_class_is_noop():
+    vol = np.zeros((8, 8, 8), np.uint8)
+    atlas = np.ones_like(vol)
+    out = post_process_segmentation(None, vol, atlas_mask=atlas)
+    assert out.sum() == 0

@@ -1,0 +1,81 @@
+"""FCN (à-trous) evaluator parity: dense path must equal the patch path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from subcort_tpu.models import init_params, load_theano_checkpoint, predict_proba
+from subcort_tpu.models.fcn import dense_branch_features, fcn_forward_bbox
+from subcort_tpu.models.triplanar import apply_branch
+from subcort_tpu.ops import pad_volume
+from subcort_tpu.ops.patches import gather_triplanar_np
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(3))
+
+
+def test_dense_branch_matches_patch_branch(params, rng):
+    """Every pixel of the dense feature map == the patch branch at that
+    center (the core à-trous equivalence)."""
+    H, W = 11, 9
+    slab = rng.standard_normal((1, H + 31, W + 31, 1)).astype(np.float32)
+    dense = np.asarray(dense_branch_features(params["axial"], jnp.asarray(slab)))
+    assert dense.shape == (1, H, W, 180)
+
+    # patch path: for center (i, j) the patch is slab[i:i+32, j:j+32]
+    patches = np.stack([slab[0, i:i + 32, j:j + 32, 0]
+                        for i in range(H) for j in range(W)])
+    feats = np.asarray(apply_branch(params["axial"], jnp.asarray(patches[..., None])))
+    np.testing.assert_allclose(dense[0].reshape(H * W, 180), feats,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_fcn_bbox_matches_patch_path(params, rng):
+    vol = rng.standard_normal((30, 34, 28)).astype(np.float32)
+    x0, y0, z0 = 4, 6, 3
+    bx, by, bz = 7, 6, 8
+    atlas = rng.random((bx * by * bz, 15), dtype=np.float32)
+
+    padded = pad_volume(jnp.asarray(vol))
+    labels, probs = fcn_forward_bbox(
+        params, padded, jnp.asarray([x0, y0, z0], jnp.int32), (bx, by, bz),
+        jnp.asarray(atlas), want_probs=True, head_chunk=64)
+    labels, probs = np.asarray(labels), np.asarray(probs)
+
+    centers = np.array([[x0 + i, y0 + j, z0 + k]
+                        for i in range(bx) for j in range(by) for k in range(bz)],
+                       dtype=np.int32)
+    ax, co, sa = gather_triplanar_np(vol, centers)
+    want = np.asarray(predict_proba(params, {
+        "axial": ax, "coronal": co, "sagittal": sa, "atlas": atlas}))
+
+    np.testing.assert_allclose(probs, want, atol=2e-4, rtol=1e-3)
+    agreement = (labels.reshape(-1) == want.argmax(1)).mean()
+    assert agreement == 1.0
+
+
+def test_fcn_with_reference_checkpoint(reference_ckpt_path, rng):
+    """Same check against the real miccai2012_v1 weights (border included)."""
+    params = load_theano_checkpoint(reference_ckpt_path)
+    vol = (rng.random((26, 24, 25)) * 4 - 2).astype(np.float32)
+    x0, y0, z0 = 0, 0, 0          # bbox touching the zero-padded border
+    bx, by, bz = 10, 8, 6
+    atlas = rng.random((bx * by * bz, 15), dtype=np.float32)
+
+    padded = pad_volume(jnp.asarray(vol))
+    labels, probs = fcn_forward_bbox(
+        params, padded, jnp.asarray([x0, y0, z0], jnp.int32), (bx, by, bz),
+        jnp.asarray(atlas), want_probs=True, head_chunk=128)
+
+    centers = np.array([[x0 + i, y0 + j, z0 + k]
+                        for i in range(bx) for j in range(by) for k in range(bz)],
+                       dtype=np.int32)
+    ax, co, sa = gather_triplanar_np(vol, centers)
+    want = np.asarray(predict_proba(params, {
+        "axial": ax, "coronal": co, "sagittal": sa, "atlas": atlas}))
+    np.testing.assert_allclose(np.asarray(probs), want, atol=2e-4, rtol=1e-3)
+    assert (np.asarray(labels).reshape(-1) == want.argmax(1)).mean() == 1.0

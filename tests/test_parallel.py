@@ -1,0 +1,79 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: sharded inference
+parity and on-device connected components."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from subcort_tpu.models import init_params, predict
+from subcort_tpu.ops import pad_volume
+from subcort_tpu.ops.connected import (label_components_device,
+                                       label_components_np)
+from subcort_tpu.ops.patches import gather_triplanar_np
+from subcort_tpu.parallel import make_mesh
+from subcort_tpu.parallel.infer_sharded import predict_labels_sharded
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(11))
+
+
+def test_sharded_inference_matches_single_device(params, rng):
+    assert len(jax.devices()) == 8
+    vol = rng.standard_normal((30, 34, 28)).astype(np.float32)
+    n = 500  # deliberately not a multiple of 8*chunk
+    centers = np.stack([rng.integers(0, s, n) for s in vol.shape], 1).astype(np.int32)
+    vecs = rng.random((n, 15), dtype=np.float32)
+
+    mesh = make_mesh(8)
+    got = predict_labels_sharded(params, pad_volume(jnp.asarray(vol)),
+                                 centers, vecs, mesh, chunk=32)
+
+    ax, co, sa = gather_triplanar_np(vol, centers)
+    want = np.asarray(predict(params, {"axial": ax, "coronal": co,
+                                       "sagittal": sa, "atlas": vecs}))
+    np.testing.assert_array_equal(got, want.astype(np.uint8))
+
+
+def test_sharded_inference_various_mesh_sizes(params, rng):
+    vol = rng.standard_normal((24, 24, 24)).astype(np.float32)
+    centers = np.stack([rng.integers(0, 24, 100) for _ in range(3)], 1).astype(np.int32)
+    vecs = rng.random((100, 15), dtype=np.float32)
+    padded = pad_volume(jnp.asarray(vol))
+    out = {}
+    for ndev in (1, 2, 4):
+        mesh = make_mesh(ndev)
+        out[ndev] = predict_labels_sharded(params, padded, centers, vecs,
+                                           mesh, chunk=16)
+    np.testing.assert_array_equal(out[1], out[2])
+    np.testing.assert_array_equal(out[1], out[4])
+
+
+# ----------------------------------------------------- connected components
+def _random_blobs(rng, shape=(24, 26, 22), p=0.18):
+    return rng.random(shape) < p
+
+
+def test_device_cc_matches_scipy(rng):
+    mask = _random_blobs(rng)
+    lab_np, n_np = label_components_np(mask)
+    lab_dev, n_dev = label_components_device(mask)
+    assert n_dev == n_np
+    # same partition: component ids may differ, membership must not
+    for comp in range(1, n_np + 1):
+        sel = lab_np == comp
+        ids = np.unique(lab_dev[sel])
+        assert len(ids) == 1 and ids[0] > 0
+        assert (lab_dev == ids[0]).sum() == sel.sum()
+
+
+def test_device_cc_empty_and_full():
+    empty = np.zeros((8, 8, 8), bool)
+    lab, n = label_components_device(empty)
+    assert n == 0 and lab.sum() == 0
+    full = np.ones((8, 8, 8), bool)
+    lab, n = label_components_device(full)
+    assert n == 1 and (lab == 1).all()

@@ -1,0 +1,227 @@
+"""Registration subsystem tests (SURVEY.md §4: identity/known-affine
+phantoms through the C++ tools; resampler parity vs scipy)."""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from subcort_tpu.io import NiftiImage, load_nii, save_nii
+from subcort_tpu.registration import (load_cpp_grid, register_masks,
+                                      resample_through_affine,
+                                      resample_through_cpp)
+from subcort_tpu.registration.atlas import make_synthetic_atlas
+
+TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(TOOLS, "reg_resample")),
+    reason="native tools not built (cd native && make)")
+
+
+def _save(tmp_path, name, data, affine=None):
+    p = str(tmp_path / name)
+    save_nii(NiftiImage(np.asarray(data, np.float32), affine), p)
+    return p
+
+
+def _run(tool, *args):
+    r = subprocess.run([os.path.join(TOOLS, tool), *args],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, f"{tool} failed: {r.stderr}"
+
+
+# ------------------------------------------------------------- reg_resample
+def test_resample_identity_affine(tmp_path, rng):
+    vol = rng.random((20, 22, 18)).astype(np.float32)
+    ref = _save(tmp_path, "ref.nii.gz", vol)
+    aff = str(tmp_path / "id.txt")
+    np.savetxt(aff, np.eye(4))
+    out = str(tmp_path / "out.nii.gz")
+    _run("reg_resample", "-ref", ref, "-flo", ref, "-aff", aff, "-res", out)
+    got = load_nii(out).data
+    np.testing.assert_allclose(got, vol, atol=1e-5)
+
+
+def test_resample_known_translation_matches_scipy(tmp_path, rng):
+    vol = ndimage.gaussian_filter(rng.random((24, 20, 22)), 1.5).astype(np.float32)
+    ref = _save(tmp_path, "ref.nii.gz", np.zeros((24, 20, 22)))
+    flo = _save(tmp_path, "flo.nii.gz", vol)
+    A = np.eye(4)
+    A[:3, 3] = [1.5, -2.0, 0.5]   # flo_world = ref_world + t
+    aff = str(tmp_path / "t.txt")
+    np.savetxt(aff, A)
+    out = str(tmp_path / "out.nii.gz")
+    _run("reg_resample", "-ref", ref, "-flo", flo, "-aff", aff, "-res", out)
+    got = load_nii(out).data
+
+    # identity world affines: pull sample at voxel + t
+    coords = np.stack(np.meshgrid(*[np.arange(s) for s in vol.shape],
+                                  indexing="ij"), 0).astype(np.float64)
+    coords += np.asarray([1.5, -2.0, 0.5])[:, None, None, None]
+    want = ndimage.map_coordinates(vol, coords, order=1, mode="constant")
+    # edge conventions differ (we blend partially-outside samples with the
+    # zero background; scipy's mode='constant' snaps to cval) — compare the
+    # interior, where both are plain trilinear interpolation
+    inner = (slice(3, -3),) * 3
+    np.testing.assert_allclose(got[inner], want[inner], atol=1e-4)
+
+
+def test_resample_4d_multichannel(tmp_path, rng):
+    vol = rng.random((12, 14, 10, 5)).astype(np.float32)
+    ref = _save(tmp_path, "ref.nii.gz", np.zeros((12, 14, 10)))
+    flo = _save(tmp_path, "flo4.nii.gz", vol)
+    aff = str(tmp_path / "id.txt")
+    np.savetxt(aff, np.eye(4))
+    out = str(tmp_path / "out4.nii.gz")
+    _run("reg_resample", "-ref", ref, "-flo", flo, "-aff", aff, "-res", out)
+    got = load_nii(out).data
+    assert got.shape == vol.shape
+    np.testing.assert_allclose(got, vol, atol=1e-5)
+
+
+def test_resample_nearest_neighbour(tmp_path, rng):
+    vol = rng.integers(0, 9, (10, 10, 10)).astype(np.float32)
+    ref = _save(tmp_path, "ref.nii.gz", np.zeros((10, 10, 10)))
+    flo = _save(tmp_path, "flo.nii.gz", vol)
+    aff = str(tmp_path / "id.txt")
+    np.savetxt(aff, np.eye(4))
+    out = str(tmp_path / "out.nii.gz")
+    _run("reg_resample", "-ref", ref, "-flo", flo, "-aff", aff, "-res", out,
+         "-inter", "0")
+    got = load_nii(out).data
+    np.testing.assert_array_equal(got, vol)  # labels survive NN exactly
+
+
+# --------------------------------------------------------------- reg_aladin
+def test_affine_recovers_known_translation(tmp_path, rng):
+    base = ndimage.gaussian_filter(rng.random((48, 52, 44)) * 100, 2).astype(np.float32)
+    base[:6] = 0; base[-6:] = 0
+    shift = (3.0, -2.0, 1.0)
+    flo = ndimage.shift(base, shift, order=1)  # flo(v) = base(v - s)
+    ref_p = _save(tmp_path, "ref.nii.gz", base)
+    flo_p = _save(tmp_path, "flo.nii.gz", flo)
+    aff_p = str(tmp_path / "out.txt")
+    res_p = str(tmp_path / "res.nii.gz")
+    _run("reg_aladin", "-ref", ref_p, "-flo", flo_p, "-aff", aff_p,
+         "-res", res_p)
+    A = np.loadtxt(aff_p)
+    # pull semantics: flo_world = A * ref_world should equal ref + shift
+    np.testing.assert_allclose(A[:3, :3], np.eye(3), atol=0.08)
+    np.testing.assert_allclose(A[:3, 3], shift, atol=0.75)
+    # resampled floating image should match the reference in the interior
+    # (borders are legitimately zero: shifted out of the floating FOV)
+    res = load_nii(res_p).data
+    inner = (slice(8, -8),) * 3
+    err = np.abs(res[inner] - base[inner]).mean()
+    scale = np.abs(base[inner]).mean()
+    assert err < 0.05 * scale
+
+
+# ------------------------------------------------------------------ reg_f3d
+def test_ffd_improves_warped_alignment(tmp_path, rng):
+    base = ndimage.gaussian_filter(rng.random((40, 40, 36)) * 100, 2).astype(np.float32)
+    base[:5] = 0; base[-5:] = 0
+    # smooth nonlinear warp of the floating image
+    gx = 1.5 * np.sin(np.linspace(0, np.pi, 40))[:, None, None]
+    coords = np.stack(np.meshgrid(*[np.arange(s) for s in base.shape],
+                                  indexing="ij"), 0).astype(np.float64)
+    coords[0] += gx
+    flo = ndimage.map_coordinates(base, coords, order=1).astype(np.float32)
+
+    ref_p = _save(tmp_path, "ref.nii.gz", base)
+    flo_p = _save(tmp_path, "flo.nii.gz", flo)
+    aff_p = str(tmp_path / "id.txt")
+    np.savetxt(aff_p, np.eye(4))
+    cpp_p = str(tmp_path / "transform.nii")
+    res_p = str(tmp_path / "res.nii.gz")
+    _run("reg_f3d", "-ref", ref_p, "-flo", flo_p, "-aff", aff_p,
+         "-cpp", cpp_p, "-res", res_p, "-sx", "6", "-maxit", "20")
+
+    before = float(((flo - base) ** 2).mean())
+    res = load_nii(res_p).data
+    after = float(((res - base) ** 2).mean())
+    assert after < before * 0.6  # FFD recovered most of the warp
+    assert os.path.exists(cpp_p)
+
+
+# ------------------------------------------------- JAX backend parity
+def test_jax_affine_resampler_matches_cpp_tool(tmp_path, rng):
+    vol = ndimage.gaussian_filter(rng.random((18, 20, 16)), 1).astype(np.float32)
+    ref = _save(tmp_path, "ref.nii.gz", np.zeros((18, 20, 16)))
+    flo = _save(tmp_path, "flo.nii.gz", vol)
+    A = np.eye(4); A[:3, 3] = [0.7, -1.2, 0.4]
+    aff = str(tmp_path / "a.txt"); np.savetxt(aff, A)
+    out = str(tmp_path / "o.nii.gz")
+    _run("reg_resample", "-ref", ref, "-flo", flo, "-aff", aff, "-res", out)
+    want = load_nii(out).data
+    got = resample_through_affine(vol, np.eye(4), A, (18, 20, 16), np.eye(4))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_jax_cpp_resampler_matches_cpp_tool(tmp_path, rng):
+    base = ndimage.gaussian_filter(rng.random((30, 30, 26)) * 100, 2).astype(np.float32)
+    flo = ndimage.shift(base, (1.0, 0.0, -0.5), order=1)
+    ref_p = _save(tmp_path, "ref.nii.gz", base)
+    flo_p = _save(tmp_path, "flo.nii.gz", flo)
+    aff_p = str(tmp_path / "id.txt"); np.savetxt(aff_p, np.eye(4))
+    cpp_p = str(tmp_path / "t.nii")
+    _run("reg_f3d", "-ref", ref_p, "-flo", flo_p, "-aff", aff_p,
+         "-cpp", cpp_p, "-sx", "8", "-maxit", "6")
+    out = str(tmp_path / "o.nii.gz")
+    _run("reg_resample", "-ref", ref_p, "-flo", flo_p, "-trans", cpp_p,
+         "-res", out)
+    want = load_nii(out).data
+    grid = load_cpp_grid(cpp_p, np.eye(4))
+    got = resample_through_cpp(flo, np.eye(4), grid, base.shape, np.eye(4))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+
+
+# ------------------------------------------------- full driver pipeline
+def test_register_masks_pipeline(tmp_path, rng):
+    """End-to-end register_masks on synthetic atlas + derived subject."""
+    atlas_dir = str(tmp_path / "atlases")
+    template, atlas = make_synthetic_atlas(atlas_dir, shape=(40, 44, 38))
+
+    # subject = translated template (world shift), same grid
+    subject = ndimage.shift(template, (2.0, -1.0, 1.0), order=1).astype(np.float32)
+    sub_dir = tmp_path / "subj"
+    sub_dir.mkdir()
+    scan = _save(sub_dir, "T1.nii.gz", subject)
+
+    register_masks(scan, atlas_dir=atlas_dir)
+
+    tmp = sub_dir / "tmp"
+    for f in ("transf.txt", "transform.nii", "rT1_template.nii.gz",
+              "rT1d_template.nii.gz", "MNI_sub_probabilities.nii.gz",
+              "MNI_subcortical_mask.nii.gz"):
+        assert (tmp / f).exists(), f
+
+    probs = load_nii(str(tmp / "MNI_sub_probabilities.nii.gz")).data
+    assert probs.shape == subject.shape + (15,)
+    # priors should land where the (shifted) structures are: compare against
+    # the directly-shifted atlas
+    want = np.stack([ndimage.shift(atlas[..., c], (2.0, -1.0, 1.0), order=1)
+                     for c in range(14)], -1)
+    inter = ((probs[..., :14] > 0.2) & (want > 0.2)).sum()
+    union = ((probs[..., :14] > 0.2) | (want > 0.2)).sum()
+    assert inter / max(union, 1) > 0.5  # majority overlap after registration
+
+    mask = load_nii(str(tmp / "MNI_subcortical_mask.nii.gz")).data
+    assert mask.sum() > 0
+
+    # stage cache: re-run is a no-op (and fast)
+    t = register_masks(scan, atlas_dir=atlas_dir)
+    assert t < 1.0
+
+
+def test_register_masks_missing_atlas_raises(tmp_path):
+    from subcort_tpu.registration import RegistrationError
+    scan_dir = tmp_path / "s"; scan_dir.mkdir()
+    scan = _save(scan_dir, "T1.nii.gz", np.ones((8, 8, 8)))
+    with pytest.raises(RegistrationError):
+        register_masks(scan, atlas_dir=str(tmp_path / "nope"))
+    shutil.rmtree(str(scan_dir / "tmp"), ignore_errors=True)

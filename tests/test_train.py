@@ -1,0 +1,176 @@
+"""Training-stack tests: data engine, split semantics, trainer protocol,
+checkpoint/resume, data-parallel mesh execution."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from subcort_tpu.config import Options
+from subcort_tpu.engine import (Trainer, TrainingIndex, build_training_index,
+                                generate_training_set, load_data,
+                                train_split_stratified)
+from subcort_tpu.io import NiftiImage, save_nii
+from subcort_tpu.models.triplanar import TriPlanarSpec
+
+
+# a tiny spec keeps CPU-test compile+train time sane while exercising the
+# identical code path (patch 24 is the smallest the conv stack admits:
+# 24->20->10->6->3->1, branch_flat 60)
+TINY = TriPlanarSpec(patch_size=24)
+
+
+def _make_dataset(tmp_path, rng, n_subjects=2, shape=(24, 26, 22)):
+    for i in range(n_subjects):
+        sub = tmp_path / f"s{i:02d}"
+        (sub / "tmp").mkdir(parents=True)
+        img = (rng.random(shape) * 500 + 50).astype(np.float32)
+        gt = np.zeros(shape, np.uint8)
+        gt[8:14, 9:15, 8:13] = rng.integers(1, 15, (6, 6, 5))  # structures
+        gt[2:22, 2:24, 2:6] = 15                                # boundary bg (plenty)
+        atlas = rng.random(shape + (15,)).astype(np.float32)
+        atlas /= atlas.sum(-1, keepdims=True)
+        save_nii(NiftiImage(img), str(sub / "T1.nii.gz"))
+        save_nii(NiftiImage(gt), str(sub / "gt_15_classes.nii.gz"))
+        save_nii(NiftiImage(atlas), str(sub / "tmp" / "MNI_sub_probabilities.nii.gz"))
+    return Options(train_folder=str(tmp_path), debug=False, seed=11)
+
+
+def test_build_training_index(tmp_path, rng):
+    opts = _make_dataset(tmp_path, rng)
+    idx = build_training_index(opts)
+    assert idx.volumes.shape[0] == 2
+    assert idx.centers.shape[1] == 4
+    assert len(idx) == idx.labels.shape[0] == idx.atlas.shape[0]
+    # balanced: positives == negatives per construction
+    assert (idx.labels > 0).sum() == (idx.labels == 0).sum()
+    # 15 never appears (remapped to 0, base.py:89)
+    assert idx.labels.max() <= 14
+    # atlas vectors sum to ~1 (normalized synthetic priors)
+    np.testing.assert_allclose(idx.atlas.sum(1), 1.0, atol=1e-4)
+
+
+def test_build_training_index_deterministic(tmp_path, rng):
+    opts = _make_dataset(tmp_path, rng)
+    i1 = build_training_index(opts, rng=np.random.default_rng(5))
+    i2 = build_training_index(opts, rng=np.random.default_rng(5))
+    np.testing.assert_array_equal(i1.centers, i2.centers)
+    np.testing.assert_array_equal(i1.labels, i2.labels)
+
+
+def test_generate_training_set_reference_contract(tmp_path, rng):
+    opts = _make_dataset(tmp_path, rng)
+    ax, co, sa, atlas, y, names = load_data(opts)
+    n = y.shape[0]
+    assert ax.shape == (n, 1, 32, 32) == co.shape == sa.shape
+    assert atlas.shape == (n, 15)
+    assert names == ["s00", "s01"]
+    # center pixel of the x-patch equals the normalized image at the center:
+    # gather parity is covered in test_ops; here check dtype contract
+    assert ax.dtype == np.float32 and y.dtype == np.int32
+
+
+def test_train_split_stratified():
+    labels = np.repeat(np.arange(4), 20)
+    tr, va = train_split_stratified(labels, 0.25)
+    assert len(tr) + len(va) == 80
+    assert len(va) == 20
+    for c in range(4):
+        assert (labels[va] == c).sum() == 5  # stratified
+    tr0, va0 = train_split_stratified(labels, 0.0)
+    assert len(va0) == 0 and len(tr0) == 80
+
+
+def _tiny_index(rng, n=96, s=2, extent=20):
+    half = TINY.patch_size // 2
+    vols = rng.standard_normal(
+        (s, extent + 2 * half, extent + 2 * half, extent + 2 * half)
+    ).astype(np.float32)
+    centers = np.stack([
+        rng.integers(0, s, n),
+        rng.integers(0, extent, n),
+        rng.integers(0, extent, n),
+        rng.integers(0, extent, n)], axis=1).astype(np.int32)
+    labels = rng.integers(0, 15, n).astype(np.int32)
+    atlas = rng.random((n, 15)).astype(np.float32)
+    return TrainingIndex(vols, centers, labels, atlas, [f"s{i}" for i in range(s)])
+
+
+def test_trainer_epoch_protocol(tmp_path, rng):
+    opts = Options(experiment="exp1", batch_size=16, max_epochs=3, patience=10,
+                   train_split=0.25, net_verbose=0, load_weights=False, seed=3)
+    tr = Trainer(opts, spec=TINY, weights_path=str(tmp_path / "nets"))
+    idx = _tiny_index(rng)
+    hist = tr.fit(idx)
+    assert len(hist) == 3
+    for k in ("epoch", "train_loss", "valid_loss", "valid_accuracy",
+              "train_loss_best", "valid_loss_best", "valid_accuracy_best", "dur"):
+        assert k in hist[0]
+    assert np.isfinite(hist[-1]["train_loss"])
+    # best-only weights + state + jsonl history exist
+    assert os.path.exists(str(tmp_path / "nets" / "exp1" / "exp1.pkl"))
+    assert os.path.exists(str(tmp_path / "nets" / "exp1" / "exp1_state.pkl"))
+    lines = open(str(tmp_path / "nets" / "exp1" / "exp1_history.jsonl")).read().splitlines()
+    assert len(lines) == 3 and json.loads(lines[0])["epoch"] == 1
+
+
+def test_trainer_loss_decreases(tmp_path, rng):
+    opts = Options(experiment="exp2", batch_size=32, max_epochs=8, patience=20,
+                   train_split=0.25, net_verbose=0, load_weights=False, seed=4)
+    tr = Trainer(opts, spec=TINY, weights_path=str(tmp_path / "nets"))
+    idx = _tiny_index(rng, n=256)
+    # learnable rule: label = 3 iff atlas channel 3 dominant, else 0
+    idx.labels[:] = np.where(idx.atlas.argmax(1) == 3, 3, 0)
+    hist = tr.fit(idx)
+    assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+
+def test_trainer_early_stopping(tmp_path, rng):
+    opts = Options(experiment="exp3", batch_size=16, max_epochs=50, patience=2,
+                   train_split=0.25, net_verbose=0, load_weights=False, seed=5)
+    tr = Trainer(opts, spec=TINY, weights_path=str(tmp_path / "nets"))
+    idx = _tiny_index(rng)  # random labels: validation won't keep improving
+    hist = tr.fit(idx)
+    assert len(hist) < 50
+    assert hist[-1]["epoch"] >= tr.best_epoch + 2
+
+
+def test_trainer_resume(tmp_path, rng):
+    opts = Options(experiment="exp4", batch_size=16, max_epochs=2, patience=10,
+                   train_split=0.25, net_verbose=0, load_weights=False, seed=6)
+    tr = Trainer(opts, spec=TINY, weights_path=str(tmp_path / "nets"))
+    idx = _tiny_index(rng)
+    tr.fit(idx)
+
+    opts2 = Options(**{**opts.asdict(), "load_weights": True, "max_epochs": 4})
+    tr2 = Trainer(opts2, spec=TINY, weights_path=str(tmp_path / "nets"))
+    assert tr2.epoch == 2  # resumed
+    hist = tr2.fit(idx)
+    assert hist[-1]["epoch"] == 4
+    lines = open(str(tmp_path / "nets" / "exp4" / "exp4_history.jsonl")).read().splitlines()
+    assert len(lines) == 4
+
+
+def test_trainer_data_parallel_mesh(tmp_path, rng):
+    """DP over the 8-device CPU mesh: same code path as a TPU slice."""
+    assert len(jax.devices()) == 8
+    opts = Options(experiment="exp5", batch_size=8, max_epochs=2, patience=10,
+                   train_split=0.25, net_verbose=0, load_weights=False,
+                   seed=7, data_parallel=8)
+    tr = Trainer(opts, spec=TINY, weights_path=str(tmp_path / "nets"))
+    assert tr.mesh.devices.size == 8
+    idx = _tiny_index(rng, n=320)
+    hist = tr.fit(idx)
+    assert len(hist) == 2 and np.isfinite(hist[-1]["train_loss"])
+
+
+def test_augmentation_path_runs(tmp_path, rng):
+    opts = Options(experiment="exp6", batch_size=16, max_epochs=1, patience=5,
+                   train_split=0.25, net_verbose=0, load_weights=False, seed=8)
+    tr = Trainer(opts, spec=TINY, weights_path=str(tmp_path / "nets"),
+                 augment=True)
+    hist = tr.fit(_tiny_index(rng))
+    assert np.isfinite(hist[0]["train_loss"])
