@@ -53,6 +53,10 @@ def main(jobdir: str) -> None:
             buf = io.StringIO()
             t0 = time.time()
             try:
+                # pick up source edits between jobs: purge framework modules
+                for name in [n for n in list(sys.modules)
+                             if n.startswith("subcort_tpu")]:
+                    del sys.modules[name]
                 with open(path) as fh:
                     src = fh.read()
                 ns = {"SHARED": SHARED, "__name__": "__tpu_job__"}

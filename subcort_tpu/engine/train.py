@@ -178,7 +178,8 @@ class Trainer:
     def __init__(self, options: Options, spec: TriPlanarSpec = DEFAULT_SPEC,
                  weights_path: str = "nets", params=None,
                  augment: bool = False, shuffle_each_epoch: bool = False,
-                 n_devices: Optional[int] = None):
+                 n_devices: Optional[int] = None,
+                 lr_schedule: Optional[tuple] = None):
         self.options = options
         # train with im2col convs: conv-gradient lowering is pathologically
         # slow on the TPU remote compiler; im2col is all matmuls (see
@@ -196,7 +197,20 @@ class Trainer:
         self.history_file = os.path.join(self.exp_dir, f"{name}_history.jsonl")
         self.state_file = os.path.join(self.exp_dir, f"{name}_state.pkl")
 
-        self.optimizer = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+        # lr: fixed 1e-3 like the reference (nets.py:237). lr_schedule=(start,
+        # stop) enables the linear decay of the reference's *unused*
+        # AdjustVariable hook (nets.py:25-39), interpolated over max_epochs.
+        if lr_schedule is not None:
+            start, stop = lr_schedule
+            steps = max(1, options["max_epochs"])
+            lr = optax.linear_schedule(start, stop, steps)
+            # per-epoch schedule driven by an epoch counter we inc manually
+            self._lr_per_epoch = [float(lr(e)) for e in range(steps + 1)]
+            self.optimizer = optax.inject_hyperparams(optax.adam)(
+                learning_rate=start, b1=0.9, b2=0.999, eps=1e-8)
+        else:
+            self._lr_per_epoch = None
+            self.optimizer = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
         self.rng_key = jax.random.key(options["seed"])
         if params is None:
             self.rng_key, sub = jax.random.split(self.rng_key)
@@ -286,6 +300,10 @@ class Trainer:
         while self.epoch < max_epochs:
             self.epoch += 1
             t0 = time.time()
+            if self._lr_per_epoch is not None:
+                lr = self._lr_per_epoch[min(self.epoch - 1,
+                                            len(self._lr_per_epoch) - 1)]
+                self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
             order = train_idx
             if self.shuffle_each_epoch:
                 order = shuffle_rng.permutation(train_idx)

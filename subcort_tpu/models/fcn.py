@@ -96,51 +96,44 @@ def dense_branch_features(bp, slab: jnp.ndarray,
     return _prelu(x, bp["prelu_d1"])
 
 
-@partial(jax.jit, static_argnames=("bbox_shape", "want_probs", "spec", "head_chunk"))
-def fcn_forward_bbox(params, padded_vol: jnp.ndarray,
-                     bbox_origin: jnp.ndarray, bbox_shape: Tuple[int, int, int],
-                     atlas_vecs: jnp.ndarray, want_probs: bool = False,
+@partial(jax.jit, static_argnames=("want_probs", "spec", "head_chunk"))
+def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
+                     want_probs: bool = False,
                      spec: TriPlanarSpec = DEFAULT_SPEC,
                      head_chunk: int = 65536):
-    """Dense tri-planar forward over a bounding box of the volume.
+    """Dense tri-planar forward over a pre-cut slab.
 
     Args:
-      padded_vol: (X+2h, Y+2h, Z+2h) volume from ops.patches.pad_volume.
-      bbox_origin: (3,) int32 original-space origin (x0, y0, z0).
-      bbox_shape: static (bx, by, bz).
-      atlas_vecs: (bx*by*bz, 15) prior vectors for every bbox voxel in
-        C-order (x-major), background-fixed on host.
+      slab: (bx+RF, by+RF, bz+RF) normalized intensities covering the bbox
+        plus its 16/15-voxel patch context (zero where outside the volume —
+        exactly the patch path's padding semantics). Shipping only the slab
+        instead of the whole padded volume cuts the host->device transfer
+        ~10x for typical subcortical ROIs.
+      atlas_vecs: (bx*by*bz, C) prior vectors for every bbox voxel in
+        C-order (x-major), background-fixed on host; any float dtype
+        (float16 halves the transfer; cast up here).
 
-    Returns (labels (bx,by,bz) uint8, probs (bx*by*bz, 15) or dummy).
-
-    The three view features are computed with three dense conv sweeps
-    (batched over the orthogonal axis), aligned so that
-    feature[x, y, z] == branch(patch centered at (x0+x, y0+y, z0+z)).
+    Returns (labels (bx,by,bz) uint8, probs (bx*by*bz, C) or dummy).
+    feature[x, y, z] == branch(patch centered at bbox voxel (x, y, z)).
     The head MLP runs as a lax.scan over voxel chunks to bound HBM temps.
     """
-    bx, by, bz = bbox_shape
-    x0, y0, z0 = bbox_origin[0], bbox_origin[1], bbox_origin[2]
+    bx = slab.shape[0] - RF
+    by = slab.shape[1] - RF
+    bz = slab.shape[2] - RF
+    atlas_vecs = atlas_vecs.astype(slab.dtype)
 
-    # slab extraction from the padded volume: padded index = original + h;
-    # the slab must start at original (x0 - HALF) -> padded x0.
-    def dyn(vol, start, sizes):
-        return lax.dynamic_slice(vol, start, sizes)
-
-    # axial: batch over z, planes (x, y)
-    ax_slab = dyn(padded_vol, (x0, y0, z0 + HALF), (bx + RF, by + RF, bz))
-    ax_in = jnp.transpose(ax_slab, (2, 0, 1))[..., None]         # (bz, bx+RF, by+RF, 1)
+    # axial: batch over z, planes (x, y); the z batch needs no halo
+    ax_in = jnp.transpose(slab[:, :, HALF:HALF + bz], (2, 0, 1))[..., None]
     fa = dense_branch_features(params["axial"], ax_in, spec)      # (bz, bx, by, F)
     fa = jnp.transpose(fa, (1, 2, 0, 3))                          # (bx, by, bz, F)
 
     # coronal: batch over y, planes (x, z)
-    co_slab = dyn(padded_vol, (x0, y0 + HALF, z0), (bx + RF, by, bz + RF))
-    co_in = jnp.transpose(co_slab, (1, 0, 2))[..., None]          # (by, bx+RF, bz+RF, 1)
+    co_in = jnp.transpose(slab[:, HALF:HALF + by, :], (1, 0, 2))[..., None]
     fc = dense_branch_features(params["coronal"], co_in, spec)    # (by, bx, bz, F)
     fc = jnp.transpose(fc, (1, 0, 2, 3))                          # (bx, by, bz, F)
 
     # sagittal: batch over x, planes (y, z)
-    sa_slab = dyn(padded_vol, (x0 + HALF, y0, z0), (bx, by + RF, bz + RF))
-    sa_in = sa_slab[..., None]                                    # (bx, by+RF, bz+RF, 1)
+    sa_in = slab[HALF:HALF + bx, :, :][..., None]
     fs = dense_branch_features(params["sagittal"], sa_in, spec)   # (bx, by, bz, F)
 
     feats = jnp.concatenate([fa, fc, fs], axis=-1)                # (bx, by, bz, 3F)
@@ -171,3 +164,19 @@ def fcn_forward_bbox(params, padded_vol: jnp.ndarray,
     labels = labels.reshape(-1)[:n].reshape(bx, by, bz)
     probs = probs.reshape(-1, probs.shape[-1])[:n] if want_probs else probs
     return labels, probs
+
+
+def fcn_forward_bbox(params, padded_vol: jnp.ndarray,
+                     bbox_origin, bbox_shape: Tuple[int, int, int],
+                     atlas_vecs: jnp.ndarray, want_probs: bool = False,
+                     spec: TriPlanarSpec = DEFAULT_SPEC,
+                     head_chunk: int = 65536):
+    """Convenience wrapper over :func:`fcn_forward_slab` that cuts the slab
+    out of a pad_volume()-padded volume (padded index = original + HALF, so
+    the slab for origin (x0,y0,z0) starts at padded (x0,y0,z0))."""
+    bx, by, bz = bbox_shape
+    x0 = int(bbox_origin[0]); y0 = int(bbox_origin[1]); z0 = int(bbox_origin[2])
+    slab = jax.lax.dynamic_slice(padded_vol, (x0, y0, z0),
+                                 (bx + RF, by + RF, bz + RF))
+    return fcn_forward_slab(params, slab, atlas_vecs, want_probs, spec,
+                            head_chunk)

@@ -128,10 +128,17 @@ def test_segment_volume_fcn_matches_patch_engine(params, phantom, rng):
     lv_p, pv_p = segment_volume(params, image, atlas, centers,
                                 want_probs=True, chunk=256, engine="patch")
     lv_f, pv_f = segment_volume(params, image, atlas, centers,
-                                want_probs=True, engine="fcn")
+                                want_probs=True, engine="fcn",
+                                prior_dtype=np.float32)
     np.testing.assert_array_equal(lv_f, lv_p)
     sel = centers[:, 0], centers[:, 1], centers[:, 2]
     np.testing.assert_allclose(pv_f[sel], pv_p[sel], atol=2e-4, rtol=1e-3)
+
+    # the default float16 prior transfer must stay >= 99.9% label-identical
+    # (the north-star agreement tolerance, BASELINE.md)
+    lv_h, _ = segment_volume(params, image, atlas, centers, engine="fcn")
+    agree = (lv_h[sel] == lv_p[sel]).mean()
+    assert agree >= 0.999
 
 
 # ------------------------------------------------------------------ postprocess
