@@ -101,33 +101,66 @@ def _augment_views(rng, ax, co, sa):
 
 
 # ----------------------------------------------------------------- step fns
+def _step_impl(optimizer, spec, augment, params, opt_state, volumes,
+               centers, labels, atlas, rng):
+    rng_aug, rng_drop = jax.random.split(rng)
+
+    def loss_fn(p):
+        ax, co, sa = gather_triplanar_subjects(volumes, centers,
+                                               patch=spec.patch_size)
+        if augment:
+            ax, co, sa = _augment_views(rng_aug, ax, co, sa)
+        stats = {}
+        logits = model_apply(
+            p, {"axial": ax, "coronal": co, "sagittal": sa, "atlas": atlas},
+            spec=spec, train=True, rng=rng_drop, return_logits=True,
+            batch_stats_out=stats)
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+        return loss, stats
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    params = update_bn_ema(params, stats, spec)
+    return params, opt_state, loss
+
+
 def make_train_step(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
                     augment: bool = False):
     @jax.jit
     def train_step(params, opt_state, volumes, centers, labels, atlas, rng):
-        rng_aug, rng_drop = jax.random.split(rng)
-
-        def loss_fn(p):
-            ax, co, sa = gather_triplanar_subjects(volumes, centers,
-                                                   patch=spec.patch_size)
-            if augment:
-                ax, co, sa = _augment_views(rng_aug, ax, co, sa)
-            stats = {}
-            logits = model_apply(
-                p, {"axial": ax, "coronal": co, "sagittal": sa, "atlas": atlas},
-                spec=spec, train=True, rng=rng_drop, return_logits=True,
-                batch_stats_out=stats)
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels).mean()
-            return loss, stats
-
-        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params = update_bn_ema(params, stats, spec)
-        return params, opt_state, loss
+        return _step_impl(optimizer, spec, augment, params, opt_state,
+                          volumes, centers, labels, atlas, rng)
 
     return train_step
+
+
+def make_train_multistep(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
+                         augment: bool = False):
+    """K optimizer steps per dispatch via lax.scan.
+
+    Per-step host->device dispatch costs tens of ms on tunneled/remote
+    deployments; scanning K batches inside one jit call amortizes it to
+    ~1/K. Inputs are (K, B, ...) stacked batches.
+    """
+    @jax.jit
+    def train_multistep(params, opt_state, volumes, centers_k, labels_k,
+                        atlas_k, rng):
+        rngs = jax.random.split(rng, centers_k.shape[0])
+
+        def body(carry, inp):
+            p, o = carry
+            c, l, a, r = inp
+            p, o, loss = _step_impl(optimizer, spec, augment, p, o,
+                                    volumes, c, l, a, r)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (centers_k, labels_k, atlas_k, rngs))
+        return params, opt_state, losses
+
+    return train_multistep
 
 
 def make_eval_step(spec: TriPlanarSpec = DEFAULT_SPEC):
@@ -179,7 +212,8 @@ class Trainer:
                  weights_path: str = "nets", params=None,
                  augment: bool = False, shuffle_each_epoch: bool = False,
                  n_devices: Optional[int] = None,
-                 lr_schedule: Optional[tuple] = None):
+                 lr_schedule: Optional[tuple] = None,
+                 steps_per_call: int = 8):
         self.options = options
         # train with im2col convs: conv-gradient lowering is pathologically
         # slow on the TPU remote compiler; im2col is all matmuls (see
@@ -224,7 +258,9 @@ class Trainer:
 
         ndev = n_devices if n_devices is not None else options["data_parallel"]
         self.mesh = make_mesh(max(1, ndev))
+        self.steps_per_call = max(1, steps_per_call)
         self._train_step = make_train_step(self.optimizer, spec, augment)
+        self._train_multi = make_train_multistep(self.optimizer, spec, augment)
         self._eval_step = make_eval_step(spec)
 
         if options.bool("load_weights"):
@@ -308,11 +344,25 @@ class Trainer:
             if self.shuffle_each_epoch:
                 order = shuffle_rng.permutation(train_idx)
 
-            # ---- train epoch
+            # ---- train epoch: K batches per dispatch, single-step tail
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            group_sh = NamedSharding(self.mesh, P(None, "data"))
             losses = []
-            n_full = (len(order) // (batch_size * ndev)) * batch_size * ndev
-            for i in range(0, n_full, batch_size * ndev):
-                sl = order[i:i + batch_size * ndev]
+            bs_step = batch_size * ndev
+            K = self.steps_per_call
+            n_full = (len(order) // bs_step) * bs_step
+            n_grouped = (n_full // (bs_step * K)) * bs_step * K
+            for i in range(0, n_grouped, bs_step * K):
+                sl = order[i:i + bs_step * K]
+                ck = jax.device_put(centers[sl].reshape(K, bs_step, -1), group_sh)
+                lk = jax.device_put(labels[sl].reshape(K, bs_step), group_sh)
+                ak = jax.device_put(atlas[sl].reshape(K, bs_step, -1), group_sh)
+                self.rng_key, sub = jax.random.split(self.rng_key)
+                self.params, self.opt_state, ls = self._train_multi(
+                    self.params, self.opt_state, volumes, ck, lk, ak, sub)
+                losses.append(ls)
+            for i in range(n_grouped, n_full, bs_step):
+                sl = order[i:i + bs_step]
                 b = shard_batch(
                     {"centers": centers[sl], "labels": labels[sl],
                      "atlas": atlas[sl]}, self.mesh)
@@ -321,7 +371,9 @@ class Trainer:
                     self.params, self.opt_state, volumes,
                     b["centers"], b["labels"], b["atlas"], sub)
                 losses.append(loss)
-            train_loss = float(np.mean([np.asarray(l) for l in losses])) if losses else float("nan")
+            train_loss = (float(np.mean(np.concatenate(
+                [np.atleast_1d(np.asarray(l)) for l in losses])))
+                if losses else float("nan"))
 
             # ---- validation
             vloss, vcorrect, vcount = 0.0, 0, 0
