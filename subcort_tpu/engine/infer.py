@@ -131,13 +131,74 @@ def _bbox_of(centers: np.ndarray, shape, align: int = 16):
     return lo.astype(np.int32), tuple(int(d) for d in dims)
 
 
+def _split_bbox(lo, dims, max_voxels: int):
+    """Split a bbox along its largest axis into sub-bboxes of at most
+    ``max_voxels`` each (keeps per-call HBM bounded; enables whole-volume
+    FCN evaluation for crop=False)."""
+    if int(np.prod(dims)) <= max_voxels:
+        yield np.asarray(lo, np.int32), tuple(int(d) for d in dims)
+        return
+    axis = int(np.argmax(dims))
+    n_parts = -(-int(np.prod(dims)) // max_voxels)
+    step = -(-dims[axis] // n_parts)
+    for start in range(0, dims[axis], step):
+        sub_lo = np.asarray(lo, np.int32).copy()
+        sub_lo[axis] += start
+        sub_dims = list(dims)
+        sub_dims[axis] = min(step, dims[axis] - start)
+        yield from _split_bbox(sub_lo, tuple(sub_dims), max_voxels)
+
+
+def _fcn_fill_bbox(params, norm, atlas, lo, dims, shape, centers,
+                   label_vol, prob_vol, want_probs, spec, prior_dtype,
+                   probs_dtype=np.float16):
+    """Run the dense evaluator over one sub-bbox and scatter results for the
+    candidate voxels inside it."""
+    from subcort_tpu.models.fcn import RF, fcn_forward_slab
+
+    bx, by, bz = dims
+    half = spec.patch_size // 2
+    # cut the bbox+halo slab on the host (ships ~10x less than the whole
+    # volume): slab axis i covers [lo-half, lo+dim+half-1]
+    slab = np.zeros((bx + RF, by + RF, bz + RF), np.float32)
+    src = [slice(max(int(l) - half, 0), min(int(l) + d + half - 1, s))
+           for l, d, s in zip(lo, dims, shape)]
+    dst = [slice(s.start - (int(l) - half), s.stop - (int(l) - half))
+           for s, l in zip(src, lo)]
+    slab[tuple(dst)] = norm[tuple(src)]
+    # prior vectors for every bbox voxel, C-order over (x, y, z); a narrow
+    # dtype (default float16) halves the transfer, cast back up on device
+    gx, gy, gz = np.meshgrid(np.arange(lo[0], lo[0] + bx),
+                             np.arange(lo[1], lo[1] + by),
+                             np.arange(lo[2], lo[2] + bz), indexing="ij")
+    bbox_centers = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+    vecs = _atlas_vectors_host(atlas, bbox_centers).astype(prior_dtype)
+    # probs come back in a narrow dtype by default (halves the readback);
+    # the written NIfTI is float32 either way
+    labels_b, probs_b = fcn_forward_slab(
+        params, jnp.asarray(slab), jnp.asarray(vecs), want_probs, spec,
+        probs_dtype=jnp.dtype(probs_dtype).name)
+    labels_b = np.asarray(labels_b)
+
+    inside = np.all((centers >= lo) & (centers < lo + np.asarray(dims)), axis=1)
+    cs = centers[inside]
+    rel = cs - np.asarray(lo)[None, :]
+    label_vol[cs[:, 0], cs[:, 1], cs[:, 2]] = \
+        labels_b[rel[:, 0], rel[:, 1], rel[:, 2]]
+    if want_probs:
+        probs_b = np.asarray(probs_b).reshape(bx, by, bz, -1)
+        prob_vol[cs[:, 0], cs[:, 1], cs[:, 2]] = \
+            probs_b[rel[:, 0], rel[:, 1], rel[:, 2]]
+
+
 def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
                    centers: np.ndarray, *, want_probs: bool = False,
                    chunk: int = DEFAULT_CHUNK,
                    spec: TriPlanarSpec = DEFAULT_SPEC,
                    engine: str = "auto",
                    fcn_max_bbox_voxels: int = 6_000_000,
-                   prior_dtype=np.float16):
+                   prior_dtype=np.float16,
+                   probs_dtype=np.float16):
     """Segment one T1 volume at the given centers.
 
     ``image`` is the *raw* scan (normalization happens here, with the
@@ -145,10 +206,11 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     prob_vol float32 or None) as numpy arrays.
 
     engine='fcn' evaluates the candidate bounding box densely with the
-    à-trous evaluator (models/fcn.py) — the fast path when candidates are a
-    compact ROI (speedup_segmentation mode). engine='patch' gathers
-    per-center patches. 'auto' picks FCN when the bbox is at most
-    ``fcn_max_bbox_voxels`` and at most ~30x the candidate count.
+    à-trous evaluator (models/fcn.py), splitting oversized bboxes into
+    sub-slabs of at most ``fcn_max_bbox_voxels`` (so crop=False whole-volume
+    runs are dense too). engine='patch' gathers per-center patches (Pallas
+    DMA kernel on TPU) — better only for very sparse candidate sets. 'auto'
+    picks FCN unless the bbox exceeds ~30x the candidate count.
     """
     image = np.asarray(image)
     norm, _, _ = normalize_nonzero(image)
@@ -158,43 +220,22 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     atlas = np.asarray(atlas, np.float32)
 
     if engine == "auto":
+        # FCN wins whenever candidates are reasonably dense in their bbox
+        # (it evaluates every bbox voxel); the patch path wins only for very
+        # sparse candidate sets. Oversized bboxes are split per-call.
         lo, dims = _bbox_of(centers, shape)
         bvox = int(np.prod(dims))
-        engine = "fcn" if (bvox <= fcn_max_bbox_voxels and bvox <= 30 * n) else "patch"
+        engine = "fcn" if bvox <= 30 * n else "patch"
 
     label_vol = np.zeros(shape, np.uint8)
     prob_vol = (np.zeros(shape + (15,), np.float32) if want_probs else None)
 
     if engine == "fcn":
-        from subcort_tpu.models.fcn import RF, fcn_forward_slab
         lo, dims = _bbox_of(centers, shape)
-        bx, by, bz = dims
-        half = spec.patch_size // 2
-        # cut the bbox+halo slab on the host (ships ~10x less than the
-        # whole volume): slab axis i covers [lo-half, lo+dim+half-1]
-        slab = np.zeros((bx + RF, by + RF, bz + RF), np.float32)
-        src = [slice(max(l - half, 0), min(l + d + half - 1, s))
-               for l, d, s in zip(lo, dims, shape)]
-        dst = [slice(s.start - (l - half), s.stop - (l - half))
-               for s, l in zip(src, lo)]
-        slab[tuple(dst)] = norm[tuple(src)]
-        # prior vectors for every bbox voxel, C-order over (x, y, z);
-        # float16 halves the (large) transfer, cast back up on device
-        gx, gy, gz = np.meshgrid(np.arange(lo[0], lo[0] + bx),
-                                 np.arange(lo[1], lo[1] + by),
-                                 np.arange(lo[2], lo[2] + bz), indexing="ij")
-        bbox_centers = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
-        vecs = _atlas_vectors_host(atlas, bbox_centers).astype(prior_dtype)
-        labels_b, probs_b = fcn_forward_slab(
-            params, jnp.asarray(slab), jnp.asarray(vecs), want_probs, spec)
-        labels_b = np.asarray(labels_b)
-        rel = centers - lo[None, :]
-        label_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = \
-            labels_b[rel[:, 0], rel[:, 1], rel[:, 2]]
-        if want_probs:
-            probs_b = np.asarray(probs_b).reshape(bx, by, bz, -1)
-            prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = \
-                probs_b[rel[:, 0], rel[:, 1], rel[:, 2]]
+        for sub_lo, sub_dims in _split_bbox(lo, dims, fcn_max_bbox_voxels):
+            _fcn_fill_bbox(params, norm, atlas, sub_lo, sub_dims, shape,
+                           centers, label_vol, prob_vol, want_probs, spec,
+                           prior_dtype, probs_dtype)
         return label_vol, prob_vol
 
     # ------------------------------------------------------------- patch path
@@ -247,6 +288,10 @@ def test_scan(params, scan_path: str, options: Options,
     if options.bool("debug"):
         print("    -->  num of samples to test:", len(centers))
 
+    from subcort_tpu.engine.metrics import ScanStats
+    stats = ScanStats(scan_path).set(candidate_voxels=int(len(centers)),
+                                     volume_shape=list(image.shape))
+
     want_probs = options.bool("out_probabilities")
     label_vol, prob_vol = segment_volume(
         params, image, atlas, centers, want_probs=want_probs,
@@ -266,6 +311,8 @@ def test_scan(params, scan_path: str, options: Options,
     else:
         save_nii(NiftiImage(label_vol.astype(np.uint8), t1.affine),
                  os.path.join(image_dir, "out_subcortical_rawseg.nii.gz"))
+    if options["net_verbose"]:
+        stats.emit()  # one JSON line: wall_seconds, voxels_per_sec, ...
     return (time.time() - s_time) / 60.0
 
 

@@ -25,6 +25,26 @@ from scipy import ndimage
 from subcort_tpu.io import load_nii
 
 
+def _filter_components(input_mask: np.ndarray, atlas_mask: np.ndarray,
+                       num_classes: int) -> np.ndarray:
+    filtered = np.zeros_like(input_mask)
+    for l in range(1, num_classes):
+        th = input_mask == l
+        labels, num = ndimage.label(th)
+        if num == 0:
+            continue
+        overlap_counts = np.bincount(
+            labels[np.logical_and(th, atlas_mask)], minlength=num + 1)[1:]
+        if overlap_counts.max(initial=0) > 0:
+            winner = int(np.argmax(overlap_counts)) + 1
+        else:
+            # no component touches the atlas: keep the largest by size
+            sizes = np.bincount(labels[th], minlength=num + 1)[1:]
+            winner = int(np.argmax(sizes)) + 1
+        filtered[labels == winner] = l
+    return filtered
+
+
 def post_process_segmentation(image_folder: str, input_mask: np.ndarray,
                               atlas_mask: np.ndarray | None = None,
                               num_classes: int = 15,
@@ -39,30 +59,30 @@ def post_process_segmentation(image_folder: str, input_mask: np.ndarray,
             image_folder, "tmp", "MNI_subcortical_mask.nii.gz")).data
     atlas_mask = np.asarray(atlas_mask) != 0
 
-    filtered = np.zeros_like(input_mask)
-    for l in range(1, num_classes):
-        th = input_mask == l
-        labels, num = ndimage.label(th)
-        if bugcompat_argmax:
-            # reference scoring: per labeled region (including 0), the count
-            # of voxels in th & atlas; argmax over all regions.
+    if bugcompat_argmax:
+        # reference scoring: per labeled region (INCLUDING region 0), the
+        # count of voxels in th & atlas; argmax over all regions — must see
+        # the full volume (the bug paints the background region).
+        filtered = np.zeros_like(input_mask)
+        for l in range(1, num_classes):
+            th = input_mask == l
+            labels, _ = ndimage.label(th)
             label_list = np.unique(labels)
             overlap = np.logical_and(th, atlas_mask)
             scores = ndimage.labeled_comprehension(
                 overlap, labels, label_list, np.sum, float, 0)
             winner = label_list[int(np.argmax(scores))]
             filtered[labels == winner] = l
-            continue
+        return filtered
 
-        if num == 0:
-            continue
-        overlap_counts = np.bincount(
-            labels[np.logical_and(th, atlas_mask)], minlength=num + 1)[1:]
-        if overlap_counts.max(initial=0) > 0:
-            winner = int(np.argmax(overlap_counts)) + 1
-        else:
-            # no component touches the atlas: keep the largest by size
-            sizes = np.bincount(labels[th], minlength=num + 1)[1:]
-            winner = int(np.argmax(sizes)) + 1
-        filtered[labels == winner] = l
-    return filtered
+    # restrict labeling to the predicted-foreground bounding box (+1 halo so
+    # components never touch the crop boundary) — ~10x less ndimage.label
+    # work on ROI-cropped segmentations.
+    full = np.zeros_like(input_mask)
+    nz = np.nonzero(input_mask)
+    if len(nz[0]) == 0:
+        return full
+    sl = tuple(slice(max(int(i.min()) - 1, 0), min(int(i.max()) + 2, s))
+               for i, s in zip(nz, input_mask.shape))
+    full[sl] = _filter_components(input_mask[sl], atlas_mask[sl], num_classes)
+    return full

@@ -96,11 +96,13 @@ def dense_branch_features(bp, slab: jnp.ndarray,
     return _prelu(x, bp["prelu_d1"])
 
 
-@partial(jax.jit, static_argnames=("want_probs", "spec", "head_chunk"))
+@partial(jax.jit, static_argnames=("want_probs", "spec", "head_chunk",
+                                   "probs_dtype"))
 def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
                      want_probs: bool = False,
                      spec: TriPlanarSpec = DEFAULT_SPEC,
-                     head_chunk: int = 65536):
+                     head_chunk: int = 65536,
+                     probs_dtype=jnp.float32):
     """Dense tri-planar forward over a pre-cut slab.
 
     Args:
@@ -157,7 +159,8 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
         y = _prelu(_dense(y, h["fc2"]["w"], h["fc2"]["b"]), h["prelu_f2"])
         logits = _dense(y, h["out"]["w"], h["out"]["b"])
         lab = jnp.argmax(logits, axis=1).astype(jnp.uint8)
-        pr = jax.nn.softmax(logits, axis=-1) if want_probs else jnp.zeros((), jnp.float32)
+        pr = (jax.nn.softmax(logits, axis=-1).astype(probs_dtype)
+              if want_probs else jnp.zeros((), jnp.float32))
         return carry, (lab, pr)
 
     _, (labels, probs) = lax.scan(head, None, (feats, atlas))

@@ -129,7 +129,8 @@ def test_segment_volume_fcn_matches_patch_engine(params, phantom, rng):
                                 want_probs=True, chunk=256, engine="patch")
     lv_f, pv_f = segment_volume(params, image, atlas, centers,
                                 want_probs=True, engine="fcn",
-                                prior_dtype=np.float32)
+                                prior_dtype=np.float32,
+                                probs_dtype=np.float32)
     np.testing.assert_array_equal(lv_f, lv_p)
     sel = centers[:, 0], centers[:, 1], centers[:, 2]
     np.testing.assert_allclose(pv_f[sel], pv_p[sel], atol=2e-4, rtol=1e-3)
@@ -139,6 +140,25 @@ def test_segment_volume_fcn_matches_patch_engine(params, phantom, rng):
     lv_h, _ = segment_volume(params, image, atlas, centers, engine="fcn")
     agree = (lv_h[sel] == lv_p[sel]).mean()
     assert agree >= 0.999
+
+
+def test_segment_volume_fcn_bbox_splitting(params, phantom, rng):
+    """Oversized bboxes are processed in sub-slabs; results must be
+    identical to the unsplit evaluation (covers crop=False whole-volume)."""
+    image, atlas, _ = phantom
+    centers = np.stack(np.nonzero(image.astype(bool)), 1).astype(np.int32)
+    lv_one, pv_one = segment_volume(params, image, atlas, centers,
+                                    want_probs=True, engine="fcn",
+                                    prior_dtype=np.float32,
+                                    probs_dtype=np.float32)
+    lv_split, pv_split = segment_volume(params, image, atlas, centers,
+                                        want_probs=True, engine="fcn",
+                                        prior_dtype=np.float32,
+                                        probs_dtype=np.float32,
+                                        fcn_max_bbox_voxels=5000)
+    np.testing.assert_array_equal(lv_split, lv_one)
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    np.testing.assert_allclose(pv_split[sel], pv_one[sel], atol=1e-5)
 
 
 # ------------------------------------------------------------------ postprocess
