@@ -414,6 +414,12 @@ class Trainer:
             self.history.append(rec)
             with open(self.history_file, "a") as fh:
                 fh.write(json.dumps(rec) + "\n")
+            # reference-format mirror: nolearn SaveTrainingHistory wrote a
+            # pickle of the per-epoch dict list (nets.py:156) — downstream
+            # tooling that reads <name>_history.pkl keeps working.
+            with open(self.history_file.replace("_history.jsonl",
+                                                "_history.pkl"), "wb") as fh:
+                pickle.dump(self.history, fh, protocol=2)
             self._save_state()
 
             if verbose:

@@ -76,9 +76,15 @@ def _run(cmd: list[str]) -> None:
 def register_masks(input_scan: str, atlas_dir: str | None = None,
                    tools_dir: str | None = None, per_channel: bool = False,
                    bugcompat_mask_channels: bool = True,
-                   dilate_iters: int = 5) -> float:
+                   dilate_iters: int = 5, backend: str = "native") -> float:
     """Register the MNI atlas into subject space; returns elapsed seconds
-    (the reference returns seconds too and the caller prints minutes)."""
+    (the reference returns seconds too and the caller prints minutes).
+
+    backend='native' runs the C++ tools end to end. backend='jax' keeps the
+    C++ block-matching affine (stage 1) but runs the deformable stage on
+    device (registration/jax_ffd.py) and warps all 15 prior channels with
+    the fused JAX resampler — same transform.nii contract either way.
+    """
     image_dir, _ = os.path.split(os.path.abspath(input_scan))
     tmp = os.path.join(image_dir, "tmp")
     os.makedirs(tmp, exist_ok=True)
@@ -100,16 +106,45 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
 
     # stage 2: deformable (B-spline FFD)
     if not os.path.exists(os.path.join(tmp, "rT1d_template.nii.gz")):
-        _run([os.path.join(tools, "reg_f3d"),
-              "-ref", input_scan, "-flo", template,
-              "-aff", transf, "-cpp", cpp,
-              "-res", os.path.join(tmp, "rT1d_template.nii.gz")])
+        if backend == "jax":
+            from subcort_tpu.registration.jax_backend import resample_through_cpp
+            from subcort_tpu.registration.jax_ffd import (register_ffd_jax,
+                                                          save_cpp_grid)
+            import numpy as _np
+
+            t1_img = load_nii(input_scan)
+            tmpl_img = load_nii(template)
+            A = _np.loadtxt(transf)
+            grid, _ = register_ffd_jax(
+                _np.asarray(t1_img.data, _np.float32),
+                _np.asarray(tmpl_img.data, _np.float32),
+                ref_affine=t1_img.affine, flo_affine=tmpl_img.affine,
+                init_affine=A)
+            save_cpp_grid(grid, cpp)
+            warped = resample_through_cpp(
+                _np.asarray(tmpl_img.data, _np.float32), tmpl_img.affine,
+                grid, t1_img.shape, t1_img.affine)
+            save_nii(NiftiImage(warped.astype(_np.float32), t1_img.affine),
+                     os.path.join(tmp, "rT1d_template.nii.gz"))
+        else:
+            _run([os.path.join(tools, "reg_f3d"),
+                  "-ref", input_scan, "-flo", template,
+                  "-aff", transf, "-cpp", cpp,
+                  "-res", os.path.join(tmp, "rT1d_template.nii.gz")])
 
     # stage 3: warp the 15 prior channels + build the binary ROI mask
     prior_path = os.path.join(tmp, "MNI_sub_probabilities.nii.gz")
     if not os.path.exists(prior_path):
         t1 = load_nii(input_scan)
-        if per_channel:
+        if backend == "jax":
+            from subcort_tpu.registration.jax_backend import (
+                load_cpp_grid, resample_through_cpp)
+            atlas_img = load_nii(atlas4d)
+            grid = load_cpp_grid(cpp, t1.affine)
+            s_atlas = resample_through_cpp(
+                np.asarray(atlas_img.data, np.float32), atlas_img.affine,
+                grid, t1.shape, t1.affine).astype(np.float32)
+        elif per_channel:
             # reference loop (base.py:530-538): one resample per channel
             atlas_img = load_nii(atlas4d)
             s_atlas = np.zeros(t1.shape + (15,), np.float32)

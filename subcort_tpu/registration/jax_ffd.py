@@ -1,0 +1,189 @@
+"""On-device (TPU) B-spline FFD registration — the differentiable second
+backend to ``tools/reg_f3d`` (SURVEY.md §2.4 suggests exactly this).
+
+Same transform model and file contract as the C++ tool (geometry.hpp
+SUBCORT_CPP): a uniform cubic B-spline control grid over the reference
+carrying TOTAL world displacement (affine baked in), optimized by Adam on
+
+    SSD(ref, flo ∘ T)  +  be * ||Δ(d - d_affine)||²
+
+over a 2-level image pyramid. Everything is jnp: the dense displacement is
+a separable B-spline tensor evaluation of the control grid, the warp is a
+differentiable trilinear gather, and the bending-energy surrogate is a
+second-difference Laplacian on the control values relative to their affine
+initialization (so pure affine motion is unpenalized) — mirroring the C++
+implementation choice for cross-backend comparability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from subcort_tpu.io import NiftiImage, save_nii
+from subcort_tpu.registration.jax_backend import (CppGrid, _bspline_weights,
+                                                  _trilinear)
+
+
+def _grid_counts(shape, spacing_vox: float) -> Tuple[int, int, int]:
+    """Control counts matching native geometry.hpp::make_grid."""
+    return tuple(int(np.ceil((s - 1) / spacing_vox)) + 4 for s in shape)
+
+
+def _dense_disp(disp: jnp.ndarray, spacing: float, shape) -> jnp.ndarray:
+    """(ncx,ncy,ncz,3) control displacements -> (X,Y,Z,3) world displacement
+    at every reference voxel (cubic B-spline, control i at voxel (i-1)*s)."""
+    def axis(n):
+        u = jnp.arange(n, dtype=jnp.float32) / spacing
+        b = jnp.floor(u).astype(jnp.int32)
+        return b, _bspline_weights(u - b)
+
+    bx, wx = axis(shape[0])
+    by, wy = axis(shape[1])
+    bz, wz = axis(shape[2])
+    ncx, ncy, ncz = disp.shape[:3]
+    out = 0.0
+    for a in range(4):
+        for b in range(4):
+            for g in range(4):
+                ix = jnp.clip(bx + a, 0, ncx - 1)
+                iy = jnp.clip(by + b, 0, ncy - 1)
+                iz = jnp.clip(bz + g, 0, ncz - 1)
+                w = (wx[:, a][:, None, None] * wy[:, b][None, :, None] *
+                     wz[:, g][None, None, :])
+                out = out + w[..., None] * disp[ix[:, None, None],
+                                                iy[None, :, None],
+                                                iz[None, None, :], :]
+    return out
+
+
+def _bending(d: jnp.ndarray) -> jnp.ndarray:
+    """Sum of squared 6-neighbor Laplacians over interior control points."""
+    lap = (d[:-2, 1:-1, 1:-1] + d[2:, 1:-1, 1:-1] +
+           d[1:-1, :-2, 1:-1] + d[1:-1, 2:, 1:-1] +
+           d[1:-1, 1:-1, :-2] + d[1:-1, 1:-1, 2:] -
+           6.0 * d[1:-1, 1:-1, 1:-1])
+    return jnp.sum(lap * lap)
+
+
+def _downsample2(vol: jnp.ndarray) -> jnp.ndarray:
+    x, y, z = (s - s % 2 for s in vol.shape)
+    v = vol[:x, :y, :z]
+    return v.reshape(x // 2, 2, y // 2, 2, z // 2, 2).mean((1, 3, 5))
+
+
+@partial(jax.jit, static_argnames=("spacing", "iters", "lr"))
+def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
+                    spacing: float, iters: int, be: float, lr: float):
+    shape = ref.shape
+    gx, gy, gz = jnp.meshgrid(jnp.arange(shape[0], dtype=jnp.float32),
+                              jnp.arange(shape[1], dtype=jnp.float32),
+                              jnp.arange(shape[2], dtype=jnp.float32),
+                              indexing="ij")
+    vox = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], -1)
+    ref_world = jnp.einsum("ij,xyzj->xyzi", ref_affine[:3, :], vox)
+
+    def loss_fn(d):
+        dd = _dense_disp(d, spacing, shape)
+        fw = ref_world + dd
+        fw1 = jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], -1)
+        fv = jnp.einsum("ij,xyzj->xyzi", flo_inv[:3, :], fw1)
+        warped = _trilinear(flo, fv)
+        ssd = jnp.mean((warped - ref) ** 2)
+        return ssd + be * _bending(d - d_affine) / d.size
+
+    # decay within the level: constant-lr Adam can oscillate/diverge once
+    # near the optimum on long runs
+    opt = optax.adam(optax.linear_schedule(lr, lr * 0.1, max(iters, 1)))
+
+    def body(carry, _):
+        d, st = carry
+        loss, grads = jax.value_and_grad(loss_fn)(d)
+        upd, st = opt.update(grads, st, d)
+        return (optax.apply_updates(d, upd), st), loss
+
+    (disp, _), losses = jax.lax.scan(body, (disp, opt.init(disp)),
+                                     None, length=iters)
+    return disp, losses
+
+
+def register_ffd_jax(ref: np.ndarray, flo: np.ndarray,
+                     ref_affine: Optional[np.ndarray] = None,
+                     flo_affine: Optional[np.ndarray] = None,
+                     init_affine: Optional[np.ndarray] = None,
+                     spacing_mm: float = 10.0,
+                     iters: Tuple[int, int] = (60, 15),
+                     be: float = 0.05, lr_mm: float = 0.4):
+    """Register flo onto ref; returns (CppGrid, per-level loss arrays).
+
+    The returned grid uses the native SUBCORT_CPP contract and can be
+    consumed by ``tools/reg_resample`` or the JAX resampler directly.
+    """
+    ref_affine = np.eye(4) if ref_affine is None else np.asarray(ref_affine, np.float64)
+    flo_affine = np.eye(4) if flo_affine is None else np.asarray(flo_affine, np.float64)
+    A = np.eye(4) if init_affine is None else np.asarray(init_affine, np.float64)
+
+    vox_mm = float(np.linalg.norm(ref_affine[:3, 0])) or 1.0
+    spacing = max(2.0, spacing_mm / vox_mm)
+    ncx, ncy, ncz = _grid_counts(ref.shape, spacing)
+
+    # affine baked into the initial control values: d(c) = A*w(c) - w(c)
+    ii, jj, kk = np.meshgrid(np.arange(ncx), np.arange(ncy), np.arange(ncz),
+                             indexing="ij")
+    cp_vox = np.stack([(ii - 1) * spacing, (jj - 1) * spacing,
+                       (kk - 1) * spacing, np.ones_like(ii, np.float64)], -1)
+    w = np.einsum("ij,...j->...i", ref_affine[:3, :], cp_vox)
+    aw = np.einsum("ij,...j->...i", A[:3, :],
+                   np.concatenate([w, np.ones(w.shape[:-1] + (1,))], -1))
+    d_affine = (aw - w).astype(np.float32)
+
+    disp = jnp.asarray(d_affine)
+    d_aff = jnp.asarray(d_affine)
+    flo_inv = jnp.asarray(np.linalg.inv(flo_affine), jnp.float32)
+
+    ref_j = jnp.asarray(np.asarray(ref, np.float32))
+    flo_j = jnp.asarray(np.asarray(flo, np.float32))
+
+    # coarse level: half-res images; same world grid => spacing halves in
+    # level-voxel units and the level affine doubles its columns
+    ref_c = _downsample2(ref_j)
+    flo_c = _downsample2(flo_j)
+    ref_affine_c = ref_affine.copy()
+    ref_affine_c[:3, :3] *= 2.0
+    ref_affine_c[:3, 3] += 0.5 * ref_affine[:3, :3].sum(1)
+    flo_affine_c = flo_affine.copy()
+    flo_affine_c[:3, :3] *= 2.0
+    flo_affine_c[:3, 3] += 0.5 * flo_affine[:3, :3].sum(1)
+
+    losses = []
+    disp, l0 = _optimize_level(
+        disp, d_aff, ref_c, flo_c,
+        jnp.asarray(ref_affine_c, jnp.float32),
+        jnp.asarray(np.linalg.inv(flo_affine_c), jnp.float32),
+        spacing / 2.0, int(iters[0]), be, lr_mm)
+    losses.append(np.asarray(l0))
+    disp, l1 = _optimize_level(
+        disp, d_aff, ref_j, flo_j,
+        jnp.asarray(ref_affine, jnp.float32), flo_inv,
+        spacing, int(iters[1]), be, lr_mm)
+    losses.append(np.asarray(l1))
+
+    grid = CppGrid(disp=disp, spacing=float(spacing),
+                   ref_affine=np.asarray(ref_affine))
+    return grid, losses
+
+
+def save_cpp_grid(grid: CppGrid, path: str) -> None:
+    """Write a SUBCORT_CPP transform.nii consumable by tools/reg_resample
+    and the JAX resampler (same sform contract as geometry.hpp::save_cpp)."""
+    disp = np.asarray(grid.disp, np.float32)[:, :, :, None, :]
+    affine = np.asarray(grid.ref_affine, np.float64).copy()
+    affine[:3, :3] = affine[:3, :3] * grid.spacing
+    affine[:3, 3] = (np.asarray(grid.ref_affine)[:3, 3] -
+                     grid.spacing * np.asarray(grid.ref_affine)[:3, :3].sum(1))
+    save_nii(NiftiImage(disp, affine), path)

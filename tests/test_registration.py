@@ -218,6 +218,30 @@ def test_register_masks_pipeline(tmp_path, rng):
     assert t < 1.0
 
 
+def test_register_masks_jax_backend(tmp_path, rng):
+    """backend='jax': C++ affine + on-device FFD + fused prior warping,
+    writing the same artifact set."""
+    atlas_dir = str(tmp_path / "atlases")
+    template, atlas = make_synthetic_atlas(atlas_dir, shape=(36, 40, 34))
+    subject = ndimage.shift(template, (1.5, -1.0, 0.5), order=1).astype(np.float32)
+    sub_dir = tmp_path / "subj"
+    sub_dir.mkdir()
+    scan = _save(sub_dir, "T1.nii.gz", subject)
+
+    register_masks(scan, atlas_dir=atlas_dir, backend="jax")
+    tmp = sub_dir / "tmp"
+    for f in ("transf.txt", "transform.nii", "rT1d_template.nii.gz",
+              "MNI_sub_probabilities.nii.gz", "MNI_subcortical_mask.nii.gz"):
+        assert (tmp / f).exists(), f
+    probs = load_nii(str(tmp / "MNI_sub_probabilities.nii.gz")).data
+    assert probs.shape == subject.shape + (15,)
+    want = np.stack([ndimage.shift(atlas[..., c], (1.5, -1.0, 0.5), order=1)
+                     for c in range(14)], -1)
+    inter = ((probs[..., :14] > 0.2) & (want > 0.2)).sum()
+    union = ((probs[..., :14] > 0.2) | (want > 0.2)).sum()
+    assert inter / max(union, 1) > 0.5
+
+
 def test_register_masks_missing_atlas_raises(tmp_path):
     from subcort_tpu.registration import RegistrationError
     scan_dir = tmp_path / "s"; scan_dir.mkdir()
