@@ -26,6 +26,10 @@ import numpy as np  # noqa: E402
 
 import jax  # noqa: E402
 
+from subcort_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()  # fresh-process runs reuse the worker's compiles
+
 from subcort_tpu.engine.infer import segment_volume  # noqa: E402
 from subcort_tpu.models import load_theano_checkpoint, init_params  # noqa: E402
 

@@ -55,8 +55,8 @@ def _conv_dil(x, w, dil):
         x, w, window_strides=(1, 1), padding="VALID",
         rhs_dilation=(dil, dil),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
-        precision=lax.Precision.HIGHEST)
+        preferred_element_type=jnp.float32,  # f32 accumulation in bf16 mode
+        precision=lax.Precision.HIGHEST).astype(x.dtype)
 
 
 def _pool_dil(x, dil):

@@ -182,15 +182,16 @@ def _conv2d_valid(x, w):
     return lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
+        preferred_element_type=jnp.float32,  # f32 accumulation even in bf16 mode
         precision=lax.Precision.HIGHEST,
-    )
+    ).astype(x.dtype)
 
 
 def _dense(x, w, b):
-    return lax.dot_general(x, w, (((1,), (0,)), ((), ())),
-                           precision=lax.Precision.HIGHEST,
-                           preferred_element_type=x.dtype) + b
+    out = lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                          precision=lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+    return out.astype(x.dtype) + b
 
 
 def _conv2d_valid_im2col(x, w):
@@ -210,8 +211,8 @@ def _conv2d_valid_im2col(x, w):
     rhs = w.reshape(kh * kw * c, o)
     out = lax.dot_general(lhs, rhs, (((1,), (0,)), ((), ())),
                           precision=lax.Precision.HIGHEST,
-                          preferred_element_type=x.dtype)
-    return out.reshape(n, oh, ow, o)
+                          preferred_element_type=jnp.float32)
+    return out.astype(x.dtype).reshape(n, oh, ow, o)
 
 
 def _conv(x, w, impl: str):

@@ -142,6 +142,18 @@ def test_segment_volume_fcn_matches_patch_engine(params, phantom, rng):
     assert agree >= 0.999
 
 
+def test_segment_volume_bfloat16_agreement(params, phantom, rng):
+    """compute_dtype='bfloat16' must stay >=99.9% label-identical to f32
+    (the north-star agreement tolerance)."""
+    image, atlas, mask = phantom
+    centers = np.stack(np.nonzero(mask), axis=1).astype(np.int32)
+    lv32, _ = segment_volume(params, image, atlas, centers, engine="fcn")
+    lv16, _ = segment_volume(params, image, atlas, centers, engine="fcn",
+                             compute_dtype="bfloat16")
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    assert (lv16[sel] == lv32[sel]).mean() >= 0.999
+
+
 def test_segment_volume_fcn_bbox_splitting(params, phantom, rng):
     """Oversized bboxes are processed in sub-slabs; results must be
     identical to the unsplit evaluation (covers crop=False whole-volume)."""
