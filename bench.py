@@ -93,11 +93,14 @@ def main():
     per_scan = min(times)
 
     # secondary: + 15-class probability maps (out_probabilities=True)
-    t0 = time.perf_counter()
-    labels_p, probs = segment_volume(params, image, atlas, centers,
-                                     want_probs=True)
-    _ = post_process_segmentation(None, labels_p, atlas_mask=roi)
-    with_probs = time.perf_counter() - t0
+    probs_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        labels_p, probs = segment_volume(params, image, atlas, centers,
+                                         want_probs=True)
+        _ = post_process_segmentation(None, labels_p, atlas_mask=roi)
+        probs_times.append(time.perf_counter() - t0)
+    with_probs = min(probs_times)
 
     print(json.dumps({
         "metric": "per_scan_segmentation_wallclock",

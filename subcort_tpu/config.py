@@ -79,10 +79,6 @@ class Options(Mapping[str, Any]):
     dilate_crop_iters: int = 10     # base.py:369 binary_dilation(iterations=10)
 
     # ------------------------------------------------------------------ dict view
-    _ALIASES = {
-        # reference-name -> attribute (identity for most)
-    }
-
     def __getitem__(self, key: str) -> Any:
         if not hasattr(self, key):
             raise KeyError(key)

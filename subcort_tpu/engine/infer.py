@@ -2,14 +2,17 @@
 
 Reference counterpart: ``test_scan`` + ``load_patch_batch``
 (cnn_cort/base.py:335-458). The reference streams 100k-patch host batches
-through the net, with patch extraction as a Python slice loop; here the
-whole scan is segmented by a single jitted device program per batch:
+through the net, with patch extraction as a Python slice loop; here a scan
+is segmented by jitted device programs over either
 
-    HBM-resident padded T1 volume + 15-channel prior volume
-      -> lax.scan over center chunks:
-           tri-planar gather  ->  CNN forward  ->  per-chunk labels/probs
-      -> device scatter into the label (and prob) volume
-      -> one readback to host
+    the dense path (default): bbox+halo slab -> à-trous tri-planar convs
+      -> scanned head MLP -> per-voxel labels/probs (models/fcn.py), or
+    the patch path: HBM-resident padded volume -> lax.scan over center
+      chunks of (Pallas DMA gather -> CNN forward),
+
+with per-voxel prior vectors gathered on the host (shipping the full ~430 MB
+4D prior volume costs ~20x the forward pass on a slow link) and results
+scattered on the host.
 
 Output contract matches the reference exactly (filenames and semantics,
 base.py:445-455): ``out_subcortical_prob.nii.gz`` (when out_probabilities),

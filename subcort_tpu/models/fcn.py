@@ -37,7 +37,7 @@ with the patch path is pinned by tests/test_fcn.py.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ Tested on the 8-device virtual CPU mesh in CI; the driver's
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
