@@ -3,6 +3,7 @@ from subcort_tpu.engine.data import (  # noqa: F401
     TrainingIndex,
     build_training_index,
     generate_training_set,
+    leave_one_out,
     list_training_subjects,
     load_data,
 )

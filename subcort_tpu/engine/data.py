@@ -90,11 +90,24 @@ def _subject_samples(labels_vol: np.ndarray, rng: np.random.Generator,
     return centers, y
 
 
+def leave_one_out(subjects: Sequence[Subject], held_out: str):
+    """Split subjects for the reference's leave-one-out protocol
+    (load_data's docstring, base.py:14-15: data loaded once, per-fold
+    training sets built per held-out scan). Returns (train_subjects,
+    held_out_subject)."""
+    train = [s for s in subjects if s.name != held_out]
+    out = [s for s in subjects if s.name == held_out]
+    if not out:
+        raise ValueError(f"no subject named {held_out!r}")
+    return train, out[0]
+
+
 def build_training_index(options: Options,
                          subjects: Optional[Sequence[Subject]] = None,
                          register_fn=None,
                          rng: Optional[np.random.Generator] = None,
-                         randomize: Optional[bool] = None) -> TrainingIndex:
+                         randomize: Optional[bool] = None,
+                         exclude_subject: Optional[str] = None) -> TrainingIndex:
     """Load all subjects, sample balanced centers, gather atlas vectors.
 
     The volumes are normalized (nonzero stats) and pre-padded by HALF so the
@@ -105,6 +118,8 @@ def build_training_index(options: Options,
         rng = np.random.default_rng(options["seed"])
     if subjects is None:
         subjects = list_training_subjects(options)
+    if exclude_subject is not None:
+        subjects, _ = leave_one_out(subjects, exclude_subject)
     if randomize is None:
         randomize = bool(options["randomize_train"])
     if not subjects:

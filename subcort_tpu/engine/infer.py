@@ -175,7 +175,13 @@ def _fcn_fill_bbox(params, norm, atlas, lo, dims, shape, centers,
                              np.arange(lo[1], lo[1] + by),
                              np.arange(lo[2], lo[2] + bz), indexing="ij")
     bbox_centers = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
-    vecs = _atlas_vectors_host(atlas, bbox_centers).astype(prior_dtype)
+    vecs = _atlas_vectors_host(atlas, bbox_centers)
+    if np.dtype(prior_dtype) == np.uint8:
+        # quantized prior transfer (1/255 steps; priors are probabilities):
+        # half the bytes of float16; dequantized on device in fcn_forward_slab
+        vecs = np.round(vecs * 255.0).astype(np.uint8)
+    else:
+        vecs = vecs.astype(prior_dtype)
     # probs come back in a narrow dtype by default (halves the readback);
     # the written NIfTI is float32 either way
     slab_d = jnp.asarray(slab, dev_dtype) if dev_dtype is not None else jnp.asarray(slab)

@@ -122,7 +122,10 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     bx = slab.shape[0] - RF
     by = slab.shape[1] - RF
     bz = slab.shape[2] - RF
-    atlas_vecs = atlas_vecs.astype(slab.dtype)
+    if atlas_vecs.dtype == jnp.uint8:  # quantized prior transfer
+        atlas_vecs = atlas_vecs.astype(slab.dtype) * (1.0 / 255.0)
+    else:
+        atlas_vecs = atlas_vecs.astype(slab.dtype)
 
     # axial: batch over z, planes (x, y); the z batch needs no halo
     ax_in = jnp.transpose(slab[:, :, HALF:HALF + bz], (2, 0, 1))[..., None]

@@ -217,3 +217,35 @@ def test_postprocess_absent_class_is_noop():
     atlas = np.ones_like(vol)
     out = post_process_segmentation(None, vol, atlas_mask=atlas)
     assert out.sum() == 0
+
+
+def test_outputs_preserve_input_affine(params, phantom, tmp_path):
+    """Output NIfTIs must carry the input scan's affine (the reference
+    passes t1_nii.affine through, base.py:446,451,454)."""
+    image, atlas, mask = phantom
+    affine = np.array([[-1.0, 0, 0, 90.0], [0, 1.2, 0, -126.0],
+                       [0, 0, 1.1, -72.0], [0, 0, 0, 1.0]])
+    sub = tmp_path / "aff01"
+    (sub / "tmp").mkdir(parents=True)
+    save_nii(NiftiImage(image, affine), str(sub / "T1.nii.gz"))
+    save_nii(NiftiImage(atlas, affine), str(sub / "tmp" / "MNI_sub_probabilities.nii.gz"))
+    save_nii(NiftiImage(mask, affine), str(sub / "tmp" / "MNI_subcortical_mask.nii.gz"))
+    opts = Options(post_process=True, out_probabilities=True, crop=True,
+                   debug=False, net_verbose=0)
+    test_scan(params, str(sub / "T1.nii.gz"), opts)
+    for f in ("out_subcortical_seg_prec.nii.gz", "out_subcortical_prob.nii.gz"):
+        out = load_nii(str(sub / f))
+        np.testing.assert_allclose(out.affine, affine, atol=1e-4)
+
+
+def test_segment_volume_uint8_prior_agreement(params, phantom, rng):
+    """The quantized (uint8) prior transfer must stay >=99.9%
+    label-identical to the float32 path."""
+    image, atlas, mask = phantom
+    centers = np.stack(np.nonzero(mask), axis=1).astype(np.int32)
+    lv32, _ = segment_volume(params, image, atlas, centers, engine="fcn",
+                             prior_dtype=np.float32)
+    lv8, _ = segment_volume(params, image, atlas, centers, engine="fcn",
+                            prior_dtype=np.uint8)
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    assert (lv8[sel] == lv32[sel]).mean() >= 0.999

@@ -174,3 +174,23 @@ def test_augmentation_path_runs(tmp_path, rng):
                  augment=True)
     hist = tr.fit(_tiny_index(rng))
     assert np.isfinite(hist[0]["train_loss"])
+
+
+def test_leave_one_out_split(tmp_path, rng):
+    """Reference LOO protocol: per-fold training sets excluding one subject."""
+    from subcort_tpu.engine import (build_training_index, leave_one_out,
+                                    list_training_subjects)
+    import pytest as _pytest
+
+    opts = _make_dataset(tmp_path, rng)
+    subjects = list_training_subjects(opts)
+    train, held = leave_one_out(subjects, "s01")
+    assert held.name == "s01" and [s.name for s in train] == ["s00"]
+    with _pytest.raises(ValueError):
+        leave_one_out(subjects, "nope")
+
+    idx_full = build_training_index(opts)
+    idx_loo = build_training_index(opts, exclude_subject="s01")
+    assert idx_loo.subject_names == ["s00"]
+    assert len(idx_loo) < len(idx_full)
+    assert idx_loo.centers[:, 0].max() == 0  # only subject 0 present
