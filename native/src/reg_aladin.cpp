@@ -188,8 +188,6 @@ std::vector<Pair> block_match(const Image& ref, const Image& flo,
     if (rvar <= 0) continue;
 
     // sample the floating image once over block+margin through A
-    Vec3 base_w = geom::apply(ref.affine, {(double)b.x, (double)b.y, (double)b.z});
-    // voxel steps of the ref grid mapped through A into flo voxel space
     Affine T = geom::matmul(flo_w2v, geom::matmul(A, ref.affine));
     for (int dz = 0; dz < L; ++dz)
       for (int dy = 0; dy < L; ++dy)
@@ -233,7 +231,6 @@ std::vector<Pair> block_match(const Image& ref, const Image& flo,
         geom::matmul(A, ref.affine),
         {cxv + (bsx - M), cyv + (bsy - M), czv + (bsz - M)});
     pairs.push_back({ref_w, flo_w, best});
-    (void)base_w;
   }
   return pairs;
 }
