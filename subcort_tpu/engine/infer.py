@@ -152,12 +152,9 @@ def _split_bbox(lo, dims, max_voxels: int):
         yield from _split_bbox(sub_lo, tuple(sub_dims), max_voxels)
 
 
-def _fcn_fill_bbox(params, norm, atlas, lo, dims, shape, centers,
-                   label_vol, prob_vol, want_probs, spec, prior_dtype,
-                   probs_dtype=np.float16, dev_dtype=None):
-    """Run the dense evaluator over one sub-bbox and scatter results for the
-    candidate voxels inside it."""
-    from subcort_tpu.models.fcn import RF, fcn_forward_slab
+def _fcn_slab_inputs(norm, atlas, lo, dims, shape, spec, prior_dtype):
+    """Host prep for one sub-bbox: (slab f32, prior vecs in prior_dtype)."""
+    from subcort_tpu.models.fcn import RF
 
     bx, by, bz = dims
     half = spec.patch_size // 2
@@ -182,14 +179,13 @@ def _fcn_fill_bbox(params, norm, atlas, lo, dims, shape, centers,
         vecs = np.round(vecs * 255.0).astype(np.uint8)
     else:
         vecs = vecs.astype(prior_dtype)
-    # probs come back in a narrow dtype by default (halves the readback);
-    # the written NIfTI is float32 either way
-    slab_d = jnp.asarray(slab, dev_dtype) if dev_dtype is not None else jnp.asarray(slab)
-    labels_b, probs_b = fcn_forward_slab(
-        params, slab_d, jnp.asarray(vecs), want_probs, spec,
-        probs_dtype=jnp.dtype(probs_dtype).name)
-    labels_b = np.asarray(labels_b)
+    return slab, vecs
 
+
+def _fcn_scatter_results(labels_b, probs_b, lo, dims, centers,
+                         label_vol, prob_vol, want_probs):
+    bx, by, bz = dims
+    labels_b = np.asarray(labels_b)
     inside = np.all((centers >= lo) & (centers < lo + np.asarray(dims)), axis=1)
     cs = centers[inside]
     rel = cs - np.asarray(lo)[None, :]
@@ -201,6 +197,41 @@ def _fcn_fill_bbox(params, norm, atlas, lo, dims, shape, centers,
             probs_b[rel[:, 0], rel[:, 1], rel[:, 2]]
 
 
+def _fcn_run_bboxes(params, norm, atlas, bboxes, shape, centers,
+                    label_vol, prob_vol, want_probs, spec, prior_dtype,
+                    probs_dtype, dev_dtype, devices=None):
+    """Run the dense evaluator over sub-bboxes, optionally fanned out over
+    multiple devices (each sub-slab is independent; params are replicated
+    per device once, slabs round-robin, results collected after all
+    dispatches are in flight — device-level pipeline parallelism over the
+    candidate region, SURVEY.md §2.5 voxel-axis sharding)."""
+    from subcort_tpu.models.fcn import fcn_forward_slab
+
+    if devices is None:
+        devices = [None]
+    params_per_dev = {}
+    pending = []
+    for i, (lo, dims) in enumerate(bboxes):
+        dev = devices[i % len(devices)]
+        if dev not in params_per_dev:
+            params_per_dev[dev] = (params if dev is None
+                                   else jax.device_put(params, dev))
+        slab, vecs = _fcn_slab_inputs(norm, atlas, lo, dims, shape, spec,
+                                      prior_dtype)
+        slab_d = jnp.asarray(slab, dev_dtype)
+        vecs_d = jnp.asarray(vecs)
+        if dev is not None:
+            slab_d = jax.device_put(slab_d, dev)
+            vecs_d = jax.device_put(vecs_d, dev)
+        labels_b, probs_b = fcn_forward_slab(
+            params_per_dev[dev], slab_d, vecs_d, want_probs, spec,
+            probs_dtype=jnp.dtype(probs_dtype).name)
+        pending.append((labels_b, probs_b, lo, dims))
+    for labels_b, probs_b, lo, dims in pending:
+        _fcn_scatter_results(labels_b, probs_b, lo, dims, centers,
+                             label_vol, prob_vol, want_probs)
+
+
 def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
                    centers: np.ndarray, *, want_probs: bool = False,
                    chunk: int = DEFAULT_CHUNK,
@@ -209,7 +240,8 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
                    fcn_max_bbox_voxels: int = 6_000_000,
                    prior_dtype=np.float16,
                    probs_dtype=np.float16,
-                   compute_dtype: str = "float32"):
+                   compute_dtype: str = "float32",
+                   devices=None):
     """Segment one T1 volume at the given centers.
 
     ``image`` is the *raw* scan (normalization happens here, with the
@@ -250,10 +282,15 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
 
     if engine == "fcn":
         lo, dims = _bbox_of(centers, shape)
-        for sub_lo, sub_dims in _split_bbox(lo, dims, fcn_max_bbox_voxels):
-            _fcn_fill_bbox(params, norm, atlas, sub_lo, sub_dims, shape,
-                           centers, label_vol, prob_vol, want_probs, spec,
-                           prior_dtype, probs_dtype, dev_dtype)
+        if devices is not None and len(devices) > 1:
+            # split finely enough that every device gets work
+            vox = int(np.prod(dims))
+            fcn_max_bbox_voxels = min(fcn_max_bbox_voxels,
+                                      max(1, -(-vox // len(devices))))
+        bboxes = list(_split_bbox(lo, dims, fcn_max_bbox_voxels))
+        _fcn_run_bboxes(params, norm, atlas, bboxes, shape, centers,
+                        label_vol, prob_vol, want_probs, spec, prior_dtype,
+                        probs_dtype, dev_dtype, devices)
         return label_vol, prob_vol
 
     # ------------------------------------------------------------- patch path

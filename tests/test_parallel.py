@@ -77,3 +77,28 @@ def test_device_cc_empty_and_full():
     full = np.ones((8, 8, 8), bool)
     lab, n = label_components_device(full)
     assert n == 1 and (lab == 1).all()
+
+
+def test_fcn_multi_device_dispatch(rng):
+    """Multi-device FCN: sub-bboxes round-robined over devices must produce
+    exactly the single-device result (device-level pipeline parallelism
+    over the candidate region)."""
+    from subcort_tpu.engine import segment_volume
+    from subcort_tpu.models import init_params
+
+    params = init_params(jax.random.key(2))
+    image = (rng.random((30, 34, 28)) * 800 + 100).astype(np.float32)
+    atlas = rng.random((30, 34, 28, 15)).astype(np.float32)
+    centers = np.stack([rng.integers(0, s, 800) for s in image.shape],
+                       1).astype(np.int32)
+    centers = np.unique(centers, axis=0)
+    lv1, pv1 = segment_volume(params, image, atlas, centers, want_probs=True,
+                              engine="fcn", prior_dtype=np.float32,
+                              probs_dtype=np.float32)
+    lv8, pv8 = segment_volume(params, image, atlas, centers, want_probs=True,
+                              engine="fcn", prior_dtype=np.float32,
+                              probs_dtype=np.float32,
+                              devices=jax.devices())
+    np.testing.assert_array_equal(lv8, lv1)
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    np.testing.assert_allclose(pv8[sel], pv1[sel], atol=1e-5)
