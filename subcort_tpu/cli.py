@@ -22,9 +22,10 @@ import sys
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="subcort_tpu",
                                 description="TPU-native sub-cortical segmentation")
-    p.add_argument("command", choices=["train", "infer", "run"],
+    p.add_argument("command", choices=["train", "infer", "run", "evaluate"],
                    help="train: fit the model; infer: segment the inference "
-                        "folder; run: both")
+                        "folder; run: both; evaluate: Dice of existing "
+                        "segmentations vs ground truth")
     p.add_argument("--config", default="configuration.cfg",
                    help="path to a reference-format configuration.cfg")
     p.add_argument("--weights-path", default="nets",
@@ -51,6 +52,45 @@ def main(argv=None) -> int:
 
     if options["net_verbose"]:
         print_options(options)
+
+    if args.command == "evaluate":
+        # per-subject Dice of written segmentations against the GT masks
+        # (the reference reports this offline in its paper; here it's a
+        # first-class subcommand)
+        import json
+
+        import numpy as np
+
+        from subcort_tpu.engine import load_test_names
+        from subcort_tpu.engine.metrics import dice_per_class, mean_dice
+        from subcort_tpu.io import load_nii
+
+        t1_names, subjects = load_test_names(options)
+        seg_name = ("out_subcortical_seg_prec.nii.gz"
+                    if options.bool("post_process")
+                    else "out_subcortical_rawseg.nii.gz")
+        all_means = []
+        for path, sub in zip(t1_names, subjects):
+            d = os.path.dirname(path)
+            seg_p = os.path.join(d, seg_name)
+            gt_p = os.path.join(d, options["roi_name"])
+            if not (os.path.exists(seg_p) and os.path.exists(gt_p)):
+                print(json.dumps({"subject": sub, "skipped": True}))
+                continue
+            seg = np.asarray(load_nii(seg_p).data)
+            gt = np.asarray(load_nii(gt_p).data).astype(np.int32)
+            gt = np.where(gt == 15, 0, gt)  # boundary-bg is background
+            per = dice_per_class(seg, gt)
+            m = mean_dice(seg, gt)
+            all_means.append(m)
+            print(json.dumps({"subject": sub, "mean_dice": round(m, 4),
+                              "per_class": {k: round(v, 4)
+                                            for k, v in per.items()}}))
+        if all_means:
+            print(json.dumps({"cohort_mean_dice":
+                              round(float(np.mean(all_means)), 4),
+                              "n_subjects": len(all_means)}))
+        return 0
 
     if args.command in ("train", "run"):
         print("--> loading training data")
