@@ -330,7 +330,7 @@ class Trainer:
         atlas = index.atlas
 
         ndev = self.mesh.devices.size
-        eval_bs = max(batch_size, 1024 // max(1, 1024 // max(batch_size, 1)))
+        eval_bs = max(batch_size, 1024)  # validation is forward-only; batch big
         shuffle_rng = np.random.default_rng(opts["seed"] + 1)
 
         while self.epoch < max_epochs:

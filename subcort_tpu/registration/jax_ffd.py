@@ -167,10 +167,12 @@ def register_ffd_jax(ref: np.ndarray, flo: np.ndarray,
         jnp.asarray(np.linalg.inv(flo_affine_c), jnp.float32),
         spacing / 2.0, int(iters[0]), be, lr_mm)
     losses.append(np.asarray(l0))
+    # the fine level refines an almost-converged state: halve the step so
+    # fresh Adam moment estimates don't overshoot it
     disp, l1 = _optimize_level(
         disp, d_aff, ref_j, flo_j,
         jnp.asarray(ref_affine, jnp.float32), flo_inv,
-        spacing, int(iters[1]), be, lr_mm)
+        spacing, int(iters[1]), be, lr_mm / 2.0)
     losses.append(np.asarray(l1))
 
     grid = CppGrid(disp=disp, spacing=float(spacing),
