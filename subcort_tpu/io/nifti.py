@@ -207,8 +207,6 @@ def save_nii(img: NiftiImage | np.ndarray, path: str | os.PathLike,
     data = np.asarray(img.data)
     if data.dtype == np.bool_:
         data = data.astype(np.uint8)
-    if data.dtype == np.float64:
-        data = data.astype(np.float64)  # keep; code 64 supported
     dt = np.dtype(data.dtype).newbyteorder("=")
     if np.dtype(dt) not in _DTYPE_CODES:
         data = data.astype(np.float32)
