@@ -91,3 +91,20 @@ def test_defaults_without_optional_keys(tmp_path):
     assert o.patch_size == (32, 32)
     assert o.test_batch_size == 100000
     assert o.seed == 42
+
+
+def test_bool_accepts_various_spellings():
+    o = Options()
+    for v, want in (("True", True), ("false", False), ("1", True),
+                    ("0", False), (1, True), (True, True), ("on", True)):
+        o.debug = v
+        assert o.bool("debug") is want
+
+
+def test_unknown_key_raises():
+    o = Options()
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        o["not_a_key"]
+    with _pytest.raises(KeyError):
+        o["not_a_key"] = 1

@@ -93,3 +93,37 @@ def test_nibabel_compat_surface(tmp_path, rng):
     assert img.shape == (3, 3, 3)
     img.to_filename(str(tmp_path / "c.nii.gz"))
     assert (tmp_path / "c.nii.gz").exists()
+
+
+def test_big_endian_read(tmp_path):
+    """Legacy big-endian NIfTI-1 files must read correctly."""
+    data = np.arange(2 * 3 * 2, dtype=">i2").reshape(2, 3, 2)
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, 2, 3, 2, 1, 1, 1, 1)
+    struct.pack_into(">h", hdr, 70, 4)      # int16
+    struct.pack_into(">h", hdr, 72, 16)     # bitpix
+    struct.pack_into(">8f", hdr, 76, 1, 1, 1, 1, 0, 0, 0, 0)
+    struct.pack_into(">f", hdr, 108, 352.0)
+    hdr[344:348] = b"n+1\x00"
+    path = str(tmp_path / "be.nii")
+    with open(path, "wb") as fh:
+        fh.write(bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F"))
+    img = load_nii(path)
+    np.testing.assert_array_equal(img.data, data.astype(np.int16))
+
+
+def test_reject_non_nifti(tmp_path):
+    path = str(tmp_path / "junk.nii")
+    with open(path, "wb") as fh:
+        fh.write(b"\x00" * 400)
+    with pytest.raises(ValueError):
+        load_nii(path)
+
+
+def test_reject_truncated(tmp_path):
+    path = str(tmp_path / "short.nii")
+    with open(path, "wb") as fh:
+        fh.write(b"\x01" * 40)
+    with pytest.raises(ValueError):
+        load_nii(path)
