@@ -77,6 +77,10 @@ class Options(Mapping[str, Any]):
     use_fcn: bool = True            # à-trous fully-convolutional fast path
     bugcompat_postprocess_argmax: bool = False  # reproduce base.py:474 quirk (§2.3-7)
     dilate_crop_iters: int = 10     # base.py:369 binary_dilation(iterations=10)
+    prior_dtype: str = "float16"    # host->device prior transfer: float16 | uint8 | float32
+    probs_dtype: str = "float16"    # device->host probability readback dtype
+    cc_backend: str = "scipy"       # post-process connected components: scipy | device
+    fcn_max_bbox_voxels: int = 6_000_000  # dense-evaluator sub-slab budget
 
     # ------------------------------------------------------------------ dict view
     def __getitem__(self, key: str) -> Any:
@@ -109,6 +113,12 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
     Mirrors cnn_cort/load_options.py:11-59 (same keys, same sections, same
     defaults), minus its side effect of mutating ``THEANO_FLAGS`` — platform
     selection is explicit here via :func:`select_platform`.
+
+    Deliberate deviation (pinned in tests/test_config.py): the reference
+    raises ``NoOptionError`` on any missing cfg key (bare ``get``,
+    load_options.py:24-51); here missing keys fall back to the documented
+    defaults so partial configs work. Present keys are read with identical
+    semantics.
 
     Accepts either an already-read RawConfigParser (reference calling
     convention, train_model.py:23-26) or a path to the cfg file.
@@ -156,6 +166,14 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
         compute_dtype=opt("tpu", "compute_dtype", "float32").strip(),
         data_parallel=int(opt("tpu", "data_parallel", 1, int)),
         use_fcn=_as_bool(opt("tpu", "use_fcn", True)),
+        bugcompat_postprocess_argmax=_as_bool(
+            opt("tpu", "bugcompat_postprocess_argmax", False)),
+        dilate_crop_iters=int(opt("tpu", "dilate_crop_iters", 10, int)),
+        prior_dtype=opt("tpu", "prior_dtype", "float16").strip(),
+        probs_dtype=opt("tpu", "probs_dtype", "float16").strip(),
+        cc_backend=opt("tpu", "cc_backend", "scipy").strip(),
+        fcn_max_bbox_voxels=int(opt("tpu", "fcn_max_bbox_voxels",
+                                    6_000_000, int)),
     )
     return o
 

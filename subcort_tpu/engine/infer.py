@@ -166,13 +166,16 @@ def _fcn_slab_inputs(norm, atlas, lo, dims, shape, spec, prior_dtype):
     dst = [slice(s.start - (int(l) - half), s.stop - (int(l) - half))
            for s, l in zip(src, lo)]
     slab[tuple(dst)] = norm[tuple(src)]
-    # prior vectors for every bbox voxel, C-order over (x, y, z); a narrow
-    # dtype (default float16) halves the transfer, cast back up on device
-    gx, gy, gz = np.meshgrid(np.arange(lo[0], lo[0] + bx),
-                             np.arange(lo[1], lo[1] + by),
-                             np.arange(lo[2], lo[2] + bz), indexing="ij")
-    bbox_centers = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
-    vecs = _atlas_vectors_host(atlas, bbox_centers)
+    # prior vectors for every bbox voxel, C-order over (x, y, z): the bbox is
+    # clamped inside the volume, so the per-voxel gather is one contiguous
+    # block slice (~30x the fancy-index gather); a narrow dtype (default
+    # float16) halves the transfer, cast back up on device
+    vecs = atlas[lo[0]:lo[0] + bx, lo[1]:lo[1] + by,
+                 lo[2]:lo[2] + bz].reshape(-1, atlas.shape[-1]).astype(
+                     np.float32, copy=True)
+    empty = vecs.sum(axis=1) == 0
+    vecs[empty] = 0.0
+    vecs[empty, 14] = 1.0
     if np.dtype(prior_dtype) == np.uint8:
         # quantized prior transfer (1/255 steps; priors are probabilities):
         # half the bytes of float16; dequantized on device in fcn_forward_slab
@@ -205,10 +208,19 @@ def _fcn_run_bboxes(params, norm, atlas, bboxes, shape, centers,
     per device once, slabs round-robin, results collected after all
     dispatches are in flight — device-level pipeline parallelism over the
     candidate region, SURVEY.md §2.5 voxel-axis sharding)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from subcort_tpu.models.fcn import fcn_forward_slab
 
     if devices is None:
         devices = [None]
+    # host prep (slab cut + prior slice) runs in a thread pool so multi-device
+    # fan-out is not serialized behind single-threaded numpy prep; dispatch
+    # stays in submission order (JAX dispatch is async, so the device work for
+    # slab i overlaps the prep of slab i+1 even single-device)
+    pool = ThreadPoolExecutor(min(len(bboxes), os.cpu_count() or 1, 8))
+    preps = [pool.submit(_fcn_slab_inputs, norm, atlas, lo, dims, shape,
+                         spec, prior_dtype) for lo, dims in bboxes]
     params_per_dev = {}
     pending = []
     for i, (lo, dims) in enumerate(bboxes):
@@ -216,8 +228,7 @@ def _fcn_run_bboxes(params, norm, atlas, bboxes, shape, centers,
         if dev not in params_per_dev:
             params_per_dev[dev] = (params if dev is None
                                    else jax.device_put(params, dev))
-        slab, vecs = _fcn_slab_inputs(norm, atlas, lo, dims, shape, spec,
-                                      prior_dtype)
+        slab, vecs = preps[i].result()
         slab_d = jnp.asarray(slab, dev_dtype)
         vecs_d = jnp.asarray(vecs)
         if dev is not None:
@@ -227,6 +238,7 @@ def _fcn_run_bboxes(params, norm, atlas, bboxes, shape, centers,
             params_per_dev[dev], slab_d, vecs_d, want_probs, spec,
             probs_dtype=jnp.dtype(probs_dtype).name)
         pending.append((labels_b, probs_b, lo, dims))
+    pool.shutdown(wait=False)
     for labels_b, probs_b, lo, dims in pending:
         _fcn_scatter_results(labels_b, probs_b, lo, dims, centers,
                              label_vol, prob_vol, want_probs)
@@ -296,6 +308,22 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     # ------------------------------------------------------------- patch path
     padded = pad_volume(jnp.asarray(norm, dev_dtype))
     vecs = _atlas_vectors_host(atlas, centers)
+
+    if devices is not None and len(devices) > 1:
+        # candidate-voxel axis sharded over the device mesh (shard_map);
+        # bit-identical to the single-device scan (tests/test_parallel.py)
+        from jax.sharding import Mesh
+
+        from subcort_tpu.parallel.infer_sharded import predict_labels_sharded
+        mesh = Mesh(np.asarray(devices), ("data",))
+        labels, probs = predict_labels_sharded(
+            params, padded, centers, vecs, mesh, chunk=chunk, spec=spec,
+            want_probs=want_probs, probs_dtype=jnp.dtype(probs_dtype).name)
+        label_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = labels
+        if want_probs:
+            prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = probs
+        return label_vol, prob_vol
+
     n_chunks = max(1, -(-n // chunk))
     pad = n_chunks * chunk - n
     centers_p = np.concatenate([centers, np.zeros((pad, 3), np.int32)], axis=0)
@@ -312,6 +340,24 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         probs = np.asarray(probs)[:n]
         prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = probs
     return label_vol, prob_vol
+
+
+def _data_parallel_devices(options: Options):
+    """Device list for the ``data_parallel`` config knob (SURVEY.md §2.5).
+
+    data_parallel=1 (default) returns None — plain single-default-device
+    dispatch. Larger values fan inference out over the first N devices
+    (clamped to what exists, with a note, so one cfg works on any slice)."""
+    dp = int(options["data_parallel"])
+    if dp <= 1:
+        return None
+    avail = jax.devices()
+    if dp > len(avail):
+        if options["net_verbose"]:
+            print(f"--> data_parallel={dp} requested but only {len(avail)} "
+                  "device(s) present; using all of them")
+        dp = len(avail)
+    return avail[:dp] if dp > 1 else None
 
 
 def test_scan(params, scan_path: str, options: Options,
@@ -352,7 +398,11 @@ def test_scan(params, scan_path: str, options: Options,
         params, image, atlas, centers, want_probs=want_probs,
         chunk=min(DEFAULT_CHUNK, max(256, options["test_batch_size"])), spec=spec,
         engine="auto" if options.bool("use_fcn") else "patch",
-        compute_dtype=options["compute_dtype"])
+        fcn_max_bbox_voxels=options["fcn_max_bbox_voxels"],
+        prior_dtype=np.dtype(options["prior_dtype"]),
+        probs_dtype=np.dtype(options["probs_dtype"]),
+        compute_dtype=options["compute_dtype"],
+        devices=_data_parallel_devices(options))
 
     if want_probs:
         save_nii(NiftiImage(prob_vol.astype(np.float32), t1.affine),
@@ -360,7 +410,8 @@ def test_scan(params, scan_path: str, options: Options,
     if options.bool("post_process"):
         filtered = post_process_segmentation(
             image_dir, label_vol,
-            bugcompat_argmax=options["bugcompat_postprocess_argmax"])
+            bugcompat_argmax=options["bugcompat_postprocess_argmax"],
+            cc_backend=options["cc_backend"])
         save_nii(NiftiImage(filtered.astype(image.dtype if image.dtype.kind in "iu" else np.uint8),
                             t1.affine),
                  os.path.join(image_dir, "out_subcortical_seg_prec.nii.gz"))
@@ -390,6 +441,18 @@ class SegmentationEngine:
     def segment_scan(self, scan_path: str) -> float:
         return test_scan(self.params, scan_path, self.options,
                          register_fn=self.register_fn, spec=self.spec)
+
+    def predict_proba(self, batch) -> np.ndarray:
+        """``net.predict_proba`` migration shim (reference nets.py / nolearn):
+        softmax probabilities for a pre-extracted patch batch (accepts the
+        reference's ``in1..in4`` dict keys or axial/coronal/sagittal/atlas),
+        memory-bounded via a scanned chunked forward."""
+        from subcort_tpu.models import predict_proba_chunked
+        return np.asarray(predict_proba_chunked(self.params, batch))
+
+    def predict(self, batch) -> np.ndarray:
+        """``net.predict`` migration shim: argmax class ids."""
+        return np.argmax(self.predict_proba(batch), axis=1)
 
     def segment_folder(self) -> dict:
         """Batch inference over the configured inference folder

@@ -26,11 +26,13 @@ from subcort_tpu.io import load_nii
 
 
 def _filter_components(input_mask: np.ndarray, atlas_mask: np.ndarray,
-                       num_classes: int) -> np.ndarray:
+                       num_classes: int, label_fn=None) -> np.ndarray:
+    if label_fn is None:
+        from subcort_tpu.ops.connected import label_components_np as label_fn
     filtered = np.zeros_like(input_mask)
     for l in range(1, num_classes):
         th = input_mask == l
-        labels, num = ndimage.label(th)
+        labels, num = label_fn(th)
         if num == 0:
             continue
         overlap_counts = np.bincount(
@@ -48,11 +50,17 @@ def _filter_components(input_mask: np.ndarray, atlas_mask: np.ndarray,
 def post_process_segmentation(image_folder: str, input_mask: np.ndarray,
                               atlas_mask: np.ndarray | None = None,
                               num_classes: int = 15,
-                              bugcompat_argmax: bool = False) -> np.ndarray:
+                              bugcompat_argmax: bool = False,
+                              cc_backend: str = "scipy") -> np.ndarray:
     """Filter a predicted label volume; returns a new volume.
 
     ``atlas_mask`` may be passed directly; otherwise it is read from
     ``<image_folder>/tmp/MNI_subcortical_mask.nii.gz`` (base.py:465).
+
+    ``cc_backend`` selects the connected-component labeler:
+    ``'scipy'`` (host, default) or ``'device'`` (on-device min-label
+    propagation, ops/connected.py — SURVEY.md §7-6). Both produce identical
+    component *sets*; the filter's keep/drop decision is backend-invariant.
     """
     if atlas_mask is None:
         atlas_mask = load_nii(os.path.join(
@@ -75,6 +83,12 @@ def post_process_segmentation(image_folder: str, input_mask: np.ndarray,
             filtered[labels == winner] = l
         return filtered
 
+    label_fn = None
+    if cc_backend == "device":
+        from subcort_tpu.ops.connected import label_components_device as label_fn
+    elif cc_backend != "scipy":
+        raise ValueError(f"unknown cc_backend {cc_backend!r}")
+
     # restrict labeling to the predicted-foreground bounding box (+1 halo so
     # components never touch the crop boundary) — ~10x less ndimage.label
     # work on ROI-cropped segmentations.
@@ -84,5 +98,6 @@ def post_process_segmentation(image_folder: str, input_mask: np.ndarray,
         return full
     sl = tuple(slice(max(int(i.min()) - 1, 0), min(int(i.max()) + 2, s))
                for i, s in zip(nz, input_mask.shape))
-    full[sl] = _filter_components(input_mask[sl], atlas_mask[sl], num_classes)
+    full[sl] = _filter_components(input_mask[sl], atlas_mask[sl], num_classes,
+                                  label_fn=label_fn)
     return full

@@ -11,4 +11,3 @@ from subcort_tpu.ops.sampling import (  # noqa: F401
     get_mask_voxels,
     shuffle_consistent,
 )
-from subcort_tpu.ops.scatter import scatter_labels, scatter_probs  # noqa: F401

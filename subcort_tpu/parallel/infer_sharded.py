@@ -6,9 +6,11 @@ The per-scan device program (tri-planar gather -> CNN forward) is wrapped in
 volume is ~60 MB, the model 3.5 MB — both trivial per chip), the centers and
 prior vectors are sharded over the ``('data',)`` mesh, and each chip scans
 its local shard. No collectives are needed on the hot path; results come
-back voxel-sharded and the host (or a final all-gather) assembles the label
-volume. Scaling is embarrassingly linear over ICI-connected chips.
+back voxel-sharded and the host assembles the label volume. Scaling is
+embarrassingly linear over ICI-connected chips.
 
+Reached from the product surface via ``segment_volume(engine='patch',
+devices=...)`` (engine/infer.py), i.e. the ``data_parallel`` config knob.
 Tested on the 8-device virtual CPU mesh in CI; the driver's
 ``dryrun_multichip`` exercises the training-side equivalent.
 """
@@ -16,6 +18,7 @@ Tested on the 8-device virtual CPU mesh in CI; the driver's
 from __future__ import annotations
 
 from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,12 +26,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from subcort_tpu.models import apply as model_apply
 from subcort_tpu.models.triplanar import DEFAULT_SPEC, TriPlanarSpec
-from subcort_tpu.ops import gather_triplanar
 
 
 def _local_forward(params, padded_vol, centers, vecs, chunk: int,
-                   spec: TriPlanarSpec):
+                   want_probs: bool, probs_dtype: str, spec: TriPlanarSpec):
     """Per-device shard program: scan chunk-wise over the local centers."""
+    from subcort_tpu.ops import gather_triplanar
+
     n_chunks = centers.shape[0] // chunk
     cs = centers.reshape(n_chunks, chunk, 3)
     av = vecs.reshape(n_chunks, chunk, -1)
@@ -38,20 +42,27 @@ def _local_forward(params, padded_vol, centers, vecs, chunk: int,
         ax, co, sa = gather_triplanar(padded_vol, c)
         probs = model_apply(params, {"axial": ax, "coronal": co,
                                      "sagittal": sa, "atlas": at}, spec=spec)
-        return carry, jnp.argmax(probs, axis=1).astype(jnp.uint8)
+        labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)
+        return carry, (labels, probs.astype(probs_dtype) if want_probs
+                       else jnp.zeros((), jnp.float32))
 
-    _, labels = jax.lax.scan(body, None, (cs, av))
-    return labels.reshape(-1)
+    _, (labels, probs) = jax.lax.scan(body, None, (cs, av))
+    labels = labels.reshape(-1)
+    probs = probs.reshape(-1, probs.shape[-1]) if want_probs else probs
+    return labels, probs
 
 
 def predict_labels_sharded(params, padded_vol, centers: np.ndarray,
                            vecs: np.ndarray, mesh: Mesh, chunk: int = 2048,
-                           spec: TriPlanarSpec = DEFAULT_SPEC) -> np.ndarray:
+                           spec: TriPlanarSpec = DEFAULT_SPEC,
+                           want_probs: bool = False,
+                           probs_dtype: str = "float16"):
     """Classify candidate voxels across all mesh devices.
 
     centers (N, 3) / vecs (N, 15) are padded to ndev*chunk granularity,
     split over the mesh, and each device runs the jitted local scan.
-    Returns (N,) uint8 labels.
+    Returns (N,) uint8 labels, plus (N, 15) probabilities in ``probs_dtype``
+    when ``want_probs`` (None otherwise).
     """
     ndev = mesh.devices.size
     n = centers.shape[0]
@@ -64,15 +75,17 @@ def predict_labels_sharded(params, padded_vol, centers: np.ndarray,
 
     fn = jax.jit(
         jax.shard_map(
-            partial(_local_forward, chunk=chunk, spec=spec),
+            partial(_local_forward, chunk=chunk, want_probs=want_probs,
+                    probs_dtype=probs_dtype, spec=spec),
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data")),
-            out_specs=P("data"),
+            out_specs=(P("data"), P("data") if want_probs else P()),
         ),
     )
     params_r = jax.device_put(params, NamedSharding(mesh, P()))
     vol_r = jax.device_put(padded_vol, NamedSharding(mesh, P()))
     centers_s = jax.device_put(centers_p, NamedSharding(mesh, P("data")))
     vecs_s = jax.device_put(vecs_p, NamedSharding(mesh, P("data")))
-    labels = fn(params_r, vol_r, centers_s, vecs_s)
-    return np.asarray(labels)[:n]
+    labels, probs = fn(params_r, vol_r, centers_s, vecs_s)
+    labels = np.asarray(labels)[:n]
+    return labels, (np.asarray(probs)[:n] if want_probs else None)

@@ -11,8 +11,7 @@ import pytest
 
 from subcort_tpu.ops import (balanced_negative_sample, gather_atlas_vectors,
                              gather_triplanar, get_mask_voxels,
-                             normalize_nonzero, pad_volume, scatter_labels,
-                             scatter_probs, shuffle_consistent)
+                             normalize_nonzero, pad_volume, shuffle_consistent)
 from subcort_tpu.ops.patches import gather_triplanar_np
 
 
@@ -132,19 +131,3 @@ def test_shuffle_consistent(rng):
         shuffle_consistent([a, b[:5]], np.random.default_rng(3))
 
 
-def test_scatter_labels_and_drop():
-    centers = np.array([[1, 2, 3], [4, 0, 1], [100, 0, 0]], dtype=np.int32)
-    labels = np.array([7, 3, 9], dtype=np.uint8)
-    vol = np.asarray(scatter_labels((6, 6, 6), centers, labels))
-    assert vol[1, 2, 3] == 7 and vol[4, 0, 1] == 3
-    assert vol.sum() == 10  # OOB sentinel dropped
-
-
-def test_scatter_probs(rng):
-    centers = np.array([[0, 0, 0], [2, 2, 2]], dtype=np.int32)
-    probs = rng.random((2, 15)).astype(np.float32)
-    vol = np.asarray(scatter_probs((3, 3, 3), centers, probs))
-    assert vol.shape == (3, 3, 3, 15)
-    np.testing.assert_allclose(vol[0, 0, 0], probs[0], rtol=1e-6)
-    np.testing.assert_allclose(vol[2, 2, 2], probs[1], rtol=1e-6)
-    assert vol[1, 1, 1].sum() == 0

@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from subcort_tpu.models import init_params, predict
+from subcort_tpu.models import init_params, predict_proba
 from subcort_tpu.ops import pad_volume
 from subcort_tpu.ops.connected import (label_components_device,
                                        label_components_np)
@@ -29,13 +29,16 @@ def test_sharded_inference_matches_single_device(params, rng):
     vecs = rng.random((n, 15), dtype=np.float32)
 
     mesh = make_mesh(8)
-    got = predict_labels_sharded(params, pad_volume(jnp.asarray(vol)),
-                                 centers, vecs, mesh, chunk=32)
+    got, got_probs = predict_labels_sharded(
+        params, pad_volume(jnp.asarray(vol)), centers, vecs, mesh, chunk=32,
+        want_probs=True, probs_dtype="float32")
 
     ax, co, sa = gather_triplanar_np(vol, centers)
-    want = np.asarray(predict(params, {"axial": ax, "coronal": co,
-                                       "sagittal": sa, "atlas": vecs}))
-    np.testing.assert_array_equal(got, want.astype(np.uint8))
+    want_probs = np.asarray(predict_proba(params, {"axial": ax, "coronal": co,
+                                                   "sagittal": sa,
+                                                   "atlas": vecs}))
+    np.testing.assert_array_equal(got, want_probs.argmax(1).astype(np.uint8))
+    np.testing.assert_allclose(got_probs, want_probs, atol=1e-5)
 
 
 def test_sharded_inference_various_mesh_sizes(params, rng):
@@ -46,10 +49,30 @@ def test_sharded_inference_various_mesh_sizes(params, rng):
     out = {}
     for ndev in (1, 2, 4):
         mesh = make_mesh(ndev)
-        out[ndev] = predict_labels_sharded(params, padded, centers, vecs,
-                                           mesh, chunk=16)
+        out[ndev], _ = predict_labels_sharded(params, padded, centers, vecs,
+                                              mesh, chunk=16)
     np.testing.assert_array_equal(out[1], out[2])
     np.testing.assert_array_equal(out[1], out[4])
+
+
+def test_patch_engine_data_parallel_matches_single_device(params, rng):
+    """The product wiring (VERDICT r1 next-2): segment_volume(engine='patch',
+    devices=...) must be bit-identical to single-device."""
+    from subcort_tpu.engine import segment_volume
+
+    image = (rng.random((26, 30, 24)) * 800 + 100).astype(np.float32)
+    atlas = rng.random((26, 30, 24, 15)).astype(np.float32)
+    centers = np.unique(np.stack([rng.integers(0, s, 600)
+                                  for s in image.shape], 1).astype(np.int32),
+                        axis=0)
+    lv1, pv1 = segment_volume(params, image, atlas, centers, want_probs=True,
+                              engine="patch", chunk=64,
+                              probs_dtype=np.float32)
+    lv8, pv8 = segment_volume(params, image, atlas, centers, want_probs=True,
+                              engine="patch", chunk=64,
+                              probs_dtype=np.float32, devices=jax.devices())
+    np.testing.assert_array_equal(lv8, lv1)
+    np.testing.assert_allclose(pv8, pv1, atol=1e-5)
 
 
 # ----------------------------------------------------- connected components
@@ -77,6 +100,25 @@ def test_device_cc_empty_and_full():
     full = np.ones((8, 8, 8), bool)
     lab, n = label_components_device(full)
     assert n == 1 and (lab == 1).all()
+
+
+def test_postprocess_device_cc_backend(rng):
+    """cc_backend='device' routes post-processing through the on-device
+    labeler and must keep the same components as the scipy path."""
+    from subcort_tpu.engine.postprocess import post_process_segmentation
+
+    seg = np.zeros((20, 22, 18), np.uint8)
+    seg[2:5, 2:5, 2:5] = 3       # touches atlas
+    seg[12:15, 12:15, 12:15] = 3  # spurious distant blob
+    seg[6:9, 6:9, 6:9] = 7
+    atlas_mask = np.zeros_like(seg, bool)
+    atlas_mask[1:10, 1:10, 1:10] = True
+    out_scipy = post_process_segmentation(".", seg, atlas_mask=atlas_mask,
+                                          cc_backend="scipy")
+    out_dev = post_process_segmentation(".", seg, atlas_mask=atlas_mask,
+                                        cc_backend="device")
+    np.testing.assert_array_equal(out_dev, out_scipy)
+    assert out_scipy[13, 13, 13] == 0 and out_scipy[3, 3, 3] == 3
 
 
 def test_fcn_multi_device_dispatch(rng):
