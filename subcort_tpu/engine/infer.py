@@ -54,11 +54,13 @@ def load_test_names(options: Options) -> Tuple[list, list]:
     return t1_names, subjects
 
 
-@partial(jax.jit, static_argnames=("chunk", "want_probs", "spec", "use_pallas"))
+@partial(jax.jit, static_argnames=("chunk", "want_probs", "spec", "use_pallas",
+                                   "probs_dtype"))
 def _forward_centers(params, padded_vol, centers, atlas_vecs,
                      chunk: int, want_probs: bool,
                      spec: TriPlanarSpec = DEFAULT_SPEC,
-                     use_pallas: bool = False):
+                     use_pallas: bool = False,
+                     probs_dtype: str = "float32"):
     """The fused device program: tri-planar gather -> forward, scanned over
     ``chunk``-sized center blocks.
 
@@ -89,7 +91,13 @@ def _forward_centers(params, padded_vol, centers, atlas_vecs,
         probs = model_apply(params, {"axial": ax, "coronal": co,
                                      "sagittal": sa, "atlas": at}, spec=spec)
         labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)
-        return carry, (labels, probs if want_probs else jnp.zeros((), jnp.float32))
+        if want_probs:
+            pr = (jnp.round(probs * 255.0).astype(jnp.uint8)
+                  if jnp.dtype(probs_dtype) == jnp.uint8
+                  else probs.astype(probs_dtype))
+        else:
+            pr = jnp.zeros((), jnp.float32)
+        return carry, (labels, pr)
 
     _, (labels, probs) = jax.lax.scan(body, None, (cs, av))
     labels = labels.reshape(-1)
@@ -152,8 +160,32 @@ def _split_bbox(lo, dims, max_voxels: int):
         yield from _split_bbox(sub_lo, tuple(sub_dims), max_voxels)
 
 
-def _fcn_slab_inputs(norm, atlas, lo, dims, shape, spec, prior_dtype):
-    """Host prep for one sub-bbox: (slab f32, prior vecs in prior_dtype)."""
+def _quantize_priors(vecs: np.ndarray, prior_dtype) -> np.ndarray:
+    if np.dtype(prior_dtype) == np.uint8:
+        # quantized prior transfer (1/255 steps; priors are probabilities):
+        # half the bytes of float16; dequantized on device in fcn_forward_slab
+        return np.round(vecs * 255.0).astype(np.uint8)
+    return vecs.astype(prior_dtype)
+
+
+def _round_up_pow2(m: int, floor: int = 8192) -> int:
+    """Bucket candidate counts to a geometric ladder so the jitted head sees
+    a bounded set of shapes across scans (remote compiles cost minutes)."""
+    return max(floor, 1 << int(np.ceil(np.log2(max(m, 1)))))
+
+
+def _fcn_slab_inputs(norm, atlas, lo, dims, shape, spec, prior_dtype,
+                     centers=None):
+    """Host prep for one sub-bbox.
+
+    Returns (slab f32, prior vecs in prior_dtype, cs, gather_idx):
+    dense mode (``centers=None``): vecs covers every bbox voxel in C-order,
+    cs/gather_idx are None. Sparse mode: cs = the candidate centers inside
+    this bbox, gather_idx = their (pow2-padded) linear bbox indices, vecs
+    only their priors — the device gathers branch features at gather_idx so
+    the head runs ~5x fewer voxels and the prior/prob transfers shrink by
+    the same factor.
+    """
     from subcort_tpu.models.fcn import RF
 
     bx, by, bz = dims
@@ -166,36 +198,64 @@ def _fcn_slab_inputs(norm, atlas, lo, dims, shape, spec, prior_dtype):
     dst = [slice(s.start - (int(l) - half), s.stop - (int(l) - half))
            for s, l in zip(src, lo)]
     slab[tuple(dst)] = norm[tuple(src)]
-    # prior vectors for every bbox voxel, C-order over (x, y, z): the bbox is
-    # clamped inside the volume, so the per-voxel gather is one contiguous
-    # block slice (~30x the fancy-index gather); a narrow dtype (default
-    # float16) halves the transfer, cast back up on device
+
+    if centers is not None:
+        inside = np.all((centers >= lo) & (centers < lo + np.asarray(dims)),
+                        axis=1)
+        cs = centers[inside]
+        m = len(cs)
+        if m == 0:
+            return None, None, cs, None  # nothing to classify in this slab
+        m_pad = _round_up_pow2(m)
+        if m_pad < bx * by * bz:
+            rel = cs - np.asarray(lo)[None, :]
+            lin = ((rel[:, 0].astype(np.int64) * by + rel[:, 1]) * bz
+                   + rel[:, 2]).astype(np.int32)
+            vecs = _atlas_vectors_host(atlas, cs)
+            lin = np.pad(lin, (0, m_pad - m))
+            vecs = np.pad(vecs, ((0, m_pad - m), (0, 0)))
+            return slab, _quantize_priors(vecs, prior_dtype), cs, lin
+        # candidates ~fill the bbox: dense head is cheaper than a padded
+        # gather — fall through
+
+    # prior vectors for every bbox voxel, C-order over (x, y, z): the
+    # bbox is clamped inside the volume, so the gather is one contiguous
+    # block slice; a narrow dtype (default float16) halves the transfer
     vecs = atlas[lo[0]:lo[0] + bx, lo[1]:lo[1] + by,
                  lo[2]:lo[2] + bz].reshape(-1, atlas.shape[-1]).astype(
                      np.float32, copy=True)
     empty = vecs.sum(axis=1) == 0
     vecs[empty] = 0.0
     vecs[empty, 14] = 1.0
-    if np.dtype(prior_dtype) == np.uint8:
-        # quantized prior transfer (1/255 steps; priors are probabilities):
-        # half the bytes of float16; dequantized on device in fcn_forward_slab
-        vecs = np.round(vecs * 255.0).astype(np.uint8)
-    else:
-        vecs = vecs.astype(prior_dtype)
-    return slab, vecs
+    return slab, _quantize_priors(vecs, prior_dtype), None, None
 
 
-def _fcn_scatter_results(labels_b, probs_b, lo, dims, centers,
+def _dequantize_probs(probs_b) -> np.ndarray:
+    probs_b = np.asarray(probs_b)
+    if probs_b.dtype == np.uint8:
+        return probs_b.astype(np.float32) * np.float32(1.0 / 255.0)
+    return probs_b
+
+
+def _fcn_scatter_results(labels_b, probs_b, lo, dims, centers, cs,
                          label_vol, prob_vol, want_probs):
-    bx, by, bz = dims
     labels_b = np.asarray(labels_b)
+    if cs is not None:
+        # sparse mode: results are aligned with cs (pow2 padding dropped)
+        m = len(cs)
+        label_vol[cs[:, 0], cs[:, 1], cs[:, 2]] = labels_b[:m]
+        if want_probs:
+            prob_vol[cs[:, 0], cs[:, 1], cs[:, 2]] = \
+                _dequantize_probs(probs_b)[:m]
+        return
+    bx, by, bz = dims
     inside = np.all((centers >= lo) & (centers < lo + np.asarray(dims)), axis=1)
     cs = centers[inside]
     rel = cs - np.asarray(lo)[None, :]
     label_vol[cs[:, 0], cs[:, 1], cs[:, 2]] = \
         labels_b[rel[:, 0], rel[:, 1], rel[:, 2]]
     if want_probs:
-        probs_b = np.asarray(probs_b).reshape(bx, by, bz, -1)
+        probs_b = _dequantize_probs(probs_b).reshape(bx, by, bz, -1)
         prob_vol[cs[:, 0], cs[:, 1], cs[:, 2]] = \
             probs_b[rel[:, 0], rel[:, 1], rel[:, 2]]
 
@@ -220,7 +280,7 @@ def _fcn_run_bboxes(params, norm, atlas, bboxes, shape, centers,
     # slab i overlaps the prep of slab i+1 even single-device)
     pool = ThreadPoolExecutor(min(len(bboxes), os.cpu_count() or 1, 8))
     preps = [pool.submit(_fcn_slab_inputs, norm, atlas, lo, dims, shape,
-                         spec, prior_dtype) for lo, dims in bboxes]
+                         spec, prior_dtype, centers) for lo, dims in bboxes]
     params_per_dev = {}
     pending = []
     for i, (lo, dims) in enumerate(bboxes):
@@ -228,19 +288,23 @@ def _fcn_run_bboxes(params, norm, atlas, bboxes, shape, centers,
         if dev not in params_per_dev:
             params_per_dev[dev] = (params if dev is None
                                    else jax.device_put(params, dev))
-        slab, vecs = preps[i].result()
+        slab, vecs, cs, gather_idx = preps[i].result()
+        if slab is None:
+            continue  # no candidates in this sub-bbox
         slab_d = jnp.asarray(slab, dev_dtype)
         vecs_d = jnp.asarray(vecs)
+        idx_d = None if gather_idx is None else jnp.asarray(gather_idx)
         if dev is not None:
             slab_d = jax.device_put(slab_d, dev)
             vecs_d = jax.device_put(vecs_d, dev)
+            idx_d = None if idx_d is None else jax.device_put(idx_d, dev)
         labels_b, probs_b = fcn_forward_slab(
             params_per_dev[dev], slab_d, vecs_d, want_probs, spec,
-            probs_dtype=jnp.dtype(probs_dtype).name)
-        pending.append((labels_b, probs_b, lo, dims))
+            probs_dtype=jnp.dtype(probs_dtype).name, gather_idx=idx_d)
+        pending.append((labels_b, probs_b, lo, dims, cs))
     pool.shutdown(wait=False)
-    for labels_b, probs_b, lo, dims in pending:
-        _fcn_scatter_results(labels_b, probs_b, lo, dims, centers,
+    for labels_b, probs_b, lo, dims, cs in pending:
+        _fcn_scatter_results(labels_b, probs_b, lo, dims, centers, cs,
                              label_vol, prob_vol, want_probs)
 
 
@@ -321,7 +385,8 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             want_probs=want_probs, probs_dtype=jnp.dtype(probs_dtype).name)
         label_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = labels
         if want_probs:
-            prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = probs
+            prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = \
+                _dequantize_probs(probs)
         return label_vol, prob_vol
 
     n_chunks = max(1, -(-n // chunk))
@@ -333,11 +398,12 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
                   spec.patch_size == 32 and chunk % 8 == 0)
     labels, probs = _forward_centers(
         params, padded, jnp.asarray(centers_p), jnp.asarray(vecs_p),
-        chunk, want_probs, spec, use_pallas=use_pallas)
+        chunk, want_probs, spec, use_pallas=use_pallas,
+        probs_dtype=jnp.dtype(probs_dtype).name)
     labels = np.asarray(labels)[:n]
     label_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = labels
     if want_probs:
-        probs = np.asarray(probs)[:n]
+        probs = _dequantize_probs(probs)[:n]
         prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = probs
     return label_vol, prob_vol
 

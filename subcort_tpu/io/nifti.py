@@ -47,6 +47,10 @@ _MAGIC_SINGLE = b"n+1\x00"
 def _open_maybe_gz(path: str | os.PathLike, mode: str):
     path = os.fspath(path)
     if path.endswith(".gz"):
+        if "w" in mode:
+            # compresslevel 1 matches nibabel's default and is ~10x faster
+            # than the gzip-module default (9) on multi-hundred-MB prob maps
+            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     return open(path, mode)
 
@@ -258,6 +262,11 @@ def save_nii(img: NiftiImage | np.ndarray, path: str | os.PathLike,
     struct.pack_into("<12f", hdr, 280, *affine[:3, :].ravel())
     hdr[344:348] = _MAGIC_SINGLE
 
-    payload = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
     with _open_maybe_gz(path, "wb") as fh:
-        fh.write(payload)
+        fh.write(bytes(hdr) + b"\x00" * 4)
+        # stream the voxel data in F-order without materializing a second
+        # full-volume copy: F-order bytes of `data` == C-order bytes of
+        # `data.T`, chunked along the slowest F axis
+        ft = data.T if data.ndim > 1 else data.reshape(1, -1)
+        for i in range(ft.shape[0]):
+            fh.write(np.ascontiguousarray(ft[i]).tobytes())

@@ -102,7 +102,8 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
                      want_probs: bool = False,
                      spec: TriPlanarSpec = DEFAULT_SPEC,
                      head_chunk: int = 65536,
-                     probs_dtype=jnp.float32):
+                     probs_dtype=jnp.float32,
+                     gather_idx=None):
     """Dense tri-planar forward over a pre-cut slab.
 
     Args:
@@ -111,11 +112,20 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
         exactly the patch path's padding semantics). Shipping only the slab
         instead of the whole padded volume cuts the host->device transfer
         ~10x for typical subcortical ROIs.
-      atlas_vecs: (bx*by*bz, C) prior vectors for every bbox voxel in
-        C-order (x-major), background-fixed on host; any float dtype
-        (float16 halves the transfer; cast up here).
+      atlas_vecs: (M, C) prior vectors, background-fixed on host; any float
+        dtype (float16 halves the transfer; cast up here). M = bx*by*bz in
+        C-order (x-major) when ``gather_idx`` is None, else
+        ``gather_idx.shape[0]`` (candidate voxels only).
+      gather_idx: optional (M,) int32 linear indices into the bbox voxel
+        axis (C-order). When given, the branch features are gathered on
+        device and the head MLP runs ONLY at those voxels — candidate sets
+        are usually ~5x sparser than their bbox, so this cuts head FLOPs and
+        the prior upload + probability readback by the same factor. The
+        scatter-back only ever reads candidate voxels, so results are
+        identical (tests/test_fcn.py pins this).
 
-    Returns (labels (bx,by,bz) uint8, probs (bx*by*bz, C) or dummy).
+    Returns (labels, probs-or-dummy): labels (bx,by,bz) uint8 and probs
+    (bx*by*bz, C) without gather_idx; labels (M,) and probs (M, C) with.
     feature[x, y, z] == branch(patch centered at bbox voxel (x, y, z)).
     The head MLP runs as a lax.scan over voxel chunks to bound HBM temps.
     """
@@ -144,14 +154,18 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     feats = jnp.concatenate([fa, fc, fs], axis=-1)                # (bx, by, bz, 3F)
     n = bx * by * bz
     feats = feats.reshape(n, feats.shape[-1])
+    if gather_idx is not None:
+        feats = jnp.take(feats, gather_idx, axis=0)               # (M, 3F)
+    m = feats.shape[0]
 
     # pad voxel axis to a chunk multiple for the scanned head
-    n_chunks = -(-n // head_chunk)
-    pad = n_chunks * head_chunk - n
+    chunk = min(head_chunk, m) if m else head_chunk
+    n_chunks = max(1, -(-m // chunk))
+    pad = n_chunks * chunk - m
     feats = jnp.pad(feats, ((0, pad), (0, 0)))
     atlas = jnp.pad(atlas_vecs, ((0, pad), (0, 0)))
-    feats = feats.reshape(n_chunks, head_chunk, -1)
-    atlas = atlas.reshape(n_chunks, head_chunk, -1)
+    feats = feats.reshape(n_chunks, chunk, -1)
+    atlas = atlas.reshape(n_chunks, chunk, -1)
 
     h = params["head"]
 
@@ -162,13 +176,22 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
         y = _prelu(_dense(y, h["fc2"]["w"], h["fc2"]["b"]), h["prelu_f2"])
         logits = _dense(y, h["out"]["w"], h["out"]["b"])
         lab = jnp.argmax(logits, axis=1).astype(jnp.uint8)
-        pr = (jax.nn.softmax(logits, axis=-1).astype(probs_dtype)
-              if want_probs else jnp.zeros((), jnp.float32))
+        if want_probs:
+            pr = jax.nn.softmax(logits, axis=-1)
+            # uint8 readback quantizes to 1/255 steps — half the bytes of
+            # f16 over the slow host link; the host dequantizes
+            pr = (jnp.round(pr * 255.0).astype(jnp.uint8)
+                  if jnp.dtype(probs_dtype) == jnp.uint8
+                  else pr.astype(probs_dtype))
+        else:
+            pr = jnp.zeros((), jnp.float32)
         return carry, (lab, pr)
 
     _, (labels, probs) = lax.scan(head, None, (feats, atlas))
-    labels = labels.reshape(-1)[:n].reshape(bx, by, bz)
-    probs = probs.reshape(-1, probs.shape[-1])[:n] if want_probs else probs
+    labels = labels.reshape(-1)[:m]
+    if gather_idx is None:
+        labels = labels.reshape(bx, by, bz)
+    probs = probs.reshape(-1, probs.shape[-1])[:m] if want_probs else probs
     return labels, probs
 
 

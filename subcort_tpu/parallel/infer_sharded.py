@@ -43,8 +43,13 @@ def _local_forward(params, padded_vol, centers, vecs, chunk: int,
         probs = model_apply(params, {"axial": ax, "coronal": co,
                                      "sagittal": sa, "atlas": at}, spec=spec)
         labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)
-        return carry, (labels, probs.astype(probs_dtype) if want_probs
-                       else jnp.zeros((), jnp.float32))
+        if want_probs:
+            pr = (jnp.round(probs * 255.0).astype(jnp.uint8)
+                  if jnp.dtype(probs_dtype) == jnp.uint8
+                  else probs.astype(probs_dtype))
+        else:
+            pr = jnp.zeros((), jnp.float32)
+        return carry, (labels, pr)
 
     _, (labels, probs) = jax.lax.scan(body, None, (cs, av))
     labels = labels.reshape(-1)

@@ -62,9 +62,16 @@ def test_segment_volume_matches_slow_path(params, phantom, rng):
     untouched = np.ones(image.shape, bool)
     untouched[centers[:, 0], centers[:, 1], centers[:, 2]] = False
     assert label_vol[untouched].sum() == 0
-    # prob volume: rows at centers sum to 1
+    # prob volume: rows at centers sum to 1 (default readback is float16,
+    # so sums carry ~15x f16 rounding)
     pr = prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]]
-    np.testing.assert_allclose(pr.sum(1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(pr.sum(1), 1.0, atol=2e-3)
+    # and exactly with a float32 readback
+    _, pv32 = segment_volume(params, image, atlas, centers,
+                             want_probs=True, chunk=128,
+                             probs_dtype=np.float32)
+    pr32 = pv32[centers[:, 0], centers[:, 1], centers[:, 2]]
+    np.testing.assert_allclose(pr32.sum(1), 1.0, atol=1e-4)
 
 
 def _write_subject(tmp_path, name, image, atlas, mask):

@@ -58,6 +58,59 @@ def test_fcn_bbox_matches_patch_path(params, rng):
     assert agreement == 1.0
 
 
+def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
+    """Sparse candidates in a big bbox take the gathered-head path (the head
+    MLP runs only at candidate voxels); labels and probs must match the
+    patch engine exactly / to float tolerance."""
+    from subcort_tpu.engine import segment_volume
+    from subcort_tpu.engine.infer import _fcn_slab_inputs
+    from subcort_tpu.models.triplanar import DEFAULT_SPEC
+
+    image = (rng.random((40, 44, 40)) * 800 + 100).astype(np.float32)
+    atlas = rng.random((40, 44, 40, 15)).astype(np.float32)
+    centers = np.unique(np.stack([rng.integers(0, s, 300)
+                                  for s in image.shape], 1).astype(np.int32),
+                        axis=0)
+    # confirm this configuration actually selects the sparse path
+    _, _, cs, idx = _fcn_slab_inputs(
+        image, atlas, np.zeros(3, np.int32), (40, 44, 40), image.shape,
+        DEFAULT_SPEC, np.float32, centers)
+    assert idx is not None and len(cs) == len(centers)
+
+    lv_f, pv_f = segment_volume(params, image, atlas, centers,
+                                want_probs=True, engine="fcn",
+                                prior_dtype=np.float32,
+                                probs_dtype=np.float32)
+    lv_p, pv_p = segment_volume(params, image, atlas, centers,
+                                want_probs=True, engine="patch", chunk=64,
+                                probs_dtype=np.float32)
+    np.testing.assert_array_equal(lv_f, lv_p)
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    np.testing.assert_allclose(pv_f[sel], pv_p[sel], atol=2e-4, rtol=1e-3)
+
+
+def test_uint8_probs_readback(params, rng):
+    """probs_dtype='uint8' quantizes the readback to 1/255 steps on device;
+    labels must be unchanged and dequantized probs within half a step."""
+    from subcort_tpu.engine import segment_volume
+
+    image = (rng.random((30, 34, 28)) * 800 + 100).astype(np.float32)
+    atlas = rng.random((30, 34, 28, 15)).astype(np.float32)
+    centers = np.unique(np.stack([rng.integers(0, s, 400)
+                                  for s in image.shape], 1).astype(np.int32),
+                        axis=0)
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    for engine in ("fcn", "patch"):
+        lv32, pv32 = segment_volume(params, image, atlas, centers,
+                                    want_probs=True, engine=engine,
+                                    probs_dtype=np.float32)
+        lv8, pv8 = segment_volume(params, image, atlas, centers,
+                                  want_probs=True, engine=engine,
+                                  probs_dtype=np.uint8)
+        np.testing.assert_array_equal(lv8, lv32)
+        assert np.abs(pv8[sel] - pv32[sel]).max() <= 0.5 / 255 + 1e-6
+
+
 def test_fcn_with_reference_checkpoint(reference_ckpt_path, rng):
     """Same check against the real miccai2012_v1 weights (border included)."""
     params = load_theano_checkpoint(reference_ckpt_path)
