@@ -104,9 +104,17 @@ def main():
         probs_times.append(time.perf_counter() - t0)
     with_probs = min(probs_times)
 
+    # quality canary: the two independent engines (dense à-trous vs Pallas
+    # patch gather) must agree at scale — catches silent numerical drift
+    labels_patch, _ = segment_volume(params, image, atlas, centers,
+                                     engine="patch")
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    agreement = float((labels[sel] == labels_patch[sel]).mean())
+
     print(json.dumps({
         "metric": "per_scan_segmentation_wallclock",
         "value": round(per_scan, 4),
+        "fcn_vs_patch_agreement": round(agreement, 6),
         "unit": "seconds",
         "vs_baseline": round(TARGET_SECONDS / per_scan, 3),
         "voxels_per_sec_per_chip": int(n_vox / per_scan),

@@ -33,6 +33,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true",
                    help="enable rotation/flip augmentation (the reference "
                         "defines but never activates it)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the command into "
+                        "DIR (view with TensorBoard/Perfetto)")
     return p
 
 
@@ -44,8 +47,10 @@ def main(argv=None) -> int:
     options = load_options(args.config)
     select_platform(options)  # must precede first backend init
 
-    from subcort_tpu.utils import enable_compilation_cache
+    from subcort_tpu.utils import enable_compilation_cache, enable_nan_checks
     enable_compilation_cache()
+    if options.bool("debug_nans"):
+        enable_nan_checks()
 
     from subcort_tpu.engine import SegmentationEngine, Trainer, build_training_index
     from subcort_tpu.models.importer import load_theano_checkpoint
@@ -92,25 +97,28 @@ def main(argv=None) -> int:
                               "n_subjects": len(all_means)}))
         return 0
 
-    if args.command in ("train", "run"):
-        print("--> loading training data")
-        index = build_training_index(options)
-        trainer = Trainer(options, weights_path=args.weights_path,
-                          augment=args.augment)
-        print("--> training")
-        trainer.fit(index)
-        params = trainer.params
-    else:
-        ckpt = os.path.join(args.weights_path, options["experiment"],
-                            options["experiment"] + ".pkl")
-        print("--> loading weights from", ckpt)
-        params = load_theano_checkpoint(ckpt)
+    from subcort_tpu.utils import profile_trace
 
-    if args.command in ("infer", "run"):
-        engine = SegmentationEngine(params, options)
-        times = engine.segment_folder()
-        for sub, minutes in times.items():
-            print(f"--> scan {sub} segmented in {minutes:.2f} min")
+    with profile_trace(args.profile):
+        if args.command in ("train", "run"):
+            print("--> loading training data")
+            index = build_training_index(options)
+            trainer = Trainer(options, weights_path=args.weights_path,
+                              augment=args.augment)
+            print("--> training")
+            trainer.fit(index)
+            params = trainer.params
+        else:
+            ckpt = os.path.join(args.weights_path, options["experiment"],
+                                options["experiment"] + ".pkl")
+            print("--> loading weights from", ckpt)
+            params = load_theano_checkpoint(ckpt)
+
+        if args.command in ("infer", "run"):
+            engine = SegmentationEngine(params, options)
+            times = engine.segment_folder()
+            for sub, minutes in times.items():
+                print(f"--> scan {sub} segmented in {minutes:.2f} min")
     return 0
 
 

@@ -81,6 +81,7 @@ class Options(Mapping[str, Any]):
     probs_dtype: str = "float16"    # device->host probability readback dtype
     cc_backend: str = "scipy"       # post-process connected components: scipy | device
     fcn_max_bbox_voxels: int = 6_000_000  # dense-evaluator sub-slab budget
+    debug_nans: bool = False        # jax_debug_nans: raise on first NaN (debug only)
 
     # ------------------------------------------------------------------ dict view
     def __getitem__(self, key: str) -> Any:
@@ -174,6 +175,7 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
         cc_backend=opt("tpu", "cc_backend", "scipy").strip(),
         fcn_max_bbox_voxels=int(opt("tpu", "fcn_max_bbox_voxels",
                                     6_000_000, int)),
+        debug_nans=_as_bool(opt("tpu", "debug_nans", False)),
     )
     return o
 

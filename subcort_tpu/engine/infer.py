@@ -389,7 +389,11 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
                 _dequantize_probs(probs)
         return label_vol, prob_vol
 
-    n_chunks = max(1, -(-n // chunk))
+    # bucket the chunk count to a pow2 ladder: _forward_centers specializes
+    # on n_chunks, and candidate counts vary per scan — without bucketing
+    # every scan pays a (minutes-long, remote) recompile. Sentinel rows
+    # clamp harmlessly and are dropped below.
+    n_chunks = _round_up_pow2(max(1, -(-n // chunk)), floor=1)
     pad = n_chunks * chunk - n
     centers_p = np.concatenate([centers, np.zeros((pad, 3), np.int32)], axis=0)
     vecs_p = np.concatenate([vecs, np.zeros((pad, 15), np.float32)], axis=0)

@@ -72,7 +72,10 @@ def predict_labels_sharded(params, padded_vol, centers: np.ndarray,
     ndev = mesh.devices.size
     n = centers.shape[0]
     gran = ndev * chunk
-    pad = (-n) % gran
+    # pow2-bucket the per-device chunk count (same recompile-avoidance as
+    # the single-device path; sentinel rows clamp harmlessly)
+    n_chunks = 1 << int(np.ceil(np.log2(max(-(-n // gran), 1))))
+    pad = n_chunks * gran - n
     centers_p = np.concatenate([np.asarray(centers, np.int32),
                                 np.zeros((pad, 3), np.int32)], axis=0)
     vecs_p = np.concatenate([np.asarray(vecs, np.float32),

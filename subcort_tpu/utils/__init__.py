@@ -1,1 +1,6 @@
-from subcort_tpu.utils.runtime import enable_compilation_cache  # noqa: F401
+from subcort_tpu.utils.runtime import (  # noqa: F401
+    enable_compilation_cache,
+    enable_nan_checks,
+    profile_trace,
+    timer,
+)

@@ -30,6 +30,31 @@ def enable_compilation_cache(path: str | None = None) -> None:
 
 
 @contextlib.contextmanager
+def profile_trace(log_dir: str | None):
+    """``jax.profiler.trace`` wrapper (SURVEY.md §5 tracing plan): captures a
+    device+host trace viewable in TensorBoard/Perfetto. No-op when
+    ``log_dir`` is falsy, so call sites can pass the CLI flag through."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    os.makedirs(log_dir, exist_ok=True)
+    with jax.profiler.trace(log_dir):
+        yield
+    print(f"[profile] trace written to {log_dir}")
+
+
+def enable_nan_checks() -> None:
+    """Debug-mode NaN detection (SURVEY.md §5 sanitizer plan): every jit
+    output is checked and the first NaN raises with the offending
+    computation. Costly — a debug flag, not a production default."""
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+
+
+@contextlib.contextmanager
 def timer(label: str, sink=None):
     """Wall-clock timer context; appends (label, seconds) to sink if given."""
     t0 = time.perf_counter()

@@ -1,6 +1,8 @@
 """Auxiliary subsystems: LR schedule hook parity, multi-host helpers,
 compilation cache, device connected components already in test_parallel."""
 
+import os
+
 import numpy as np
 
 import jax
@@ -57,3 +59,34 @@ def test_enable_compilation_cache_idempotent(tmp_path):
     enable_compilation_cache(str(tmp_path / "cache"))
     x = jax.numpy.ones((8, 8))
     assert float((x @ x).sum()) == 512.0
+
+
+def test_profile_trace_writes_trace(tmp_path):
+    from subcort_tpu.utils import profile_trace
+
+    with profile_trace(str(tmp_path / "trace")):
+        x = jax.numpy.ones((16, 16))
+        (x @ x).block_until_ready()
+    files = [os.path.join(r, f) for r, _, fs in os.walk(tmp_path / "trace")
+             for f in fs]
+    assert files, "no trace artifacts written"
+    # no-op mode must not create anything
+    with profile_trace(None):
+        pass
+
+
+def test_bench_train_smoke(capsys):
+    """bench_train.py at toy scale: one JSON line with the contract keys."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench_train
+
+    bench_train.main(["--samples", "512", "--epochs", "2", "--batch", "64"])
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "train_epoch_wallclock"
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+    assert rec["samples_per_sec_per_chip"] > 0

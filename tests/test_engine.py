@@ -74,6 +74,24 @@ def test_segment_volume_matches_slow_path(params, phantom, rng):
     np.testing.assert_allclose(pr32.sum(1), 1.0, atol=1e-4)
 
 
+def test_patch_engine_compile_bucketing(params, phantom, rng):
+    """Differently-sized candidate sets in the same pow2 chunk-count bucket
+    must reuse the compiled program (remote compiles cost minutes)."""
+    from subcort_tpu.engine.infer import _forward_centers
+
+    image, atlas, _ = phantom
+    def run(n):
+        centers = np.unique(np.stack([rng.integers(0, s, n)
+                                      for s in image.shape], 1).astype(np.int32),
+                            axis=0)
+        segment_volume(params, image, atlas, centers, engine="patch", chunk=64)
+
+    run(300)   # ceil(~295/64)=5 chunks -> bucket 8
+    before = _forward_centers._cache_size()
+    run(500)   # ~480/64=8 chunks -> same bucket 8
+    assert _forward_centers._cache_size() == before
+
+
 def _write_subject(tmp_path, name, image, atlas, mask):
     sub = tmp_path / name
     (sub / "tmp").mkdir(parents=True)
