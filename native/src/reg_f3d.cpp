@@ -3,18 +3,25 @@
 //
 //   reg_f3d -ref <ref> -flo <flo> [-aff <transf.txt>] -cpp <transform.nii>
 //           -res <resampled> [-sx <spacing_mm>] [-maxit <n>] [-be <w>]
+//           [-nmi]
 //
 // Model: total world displacement d(x) on a uniform cubic B-spline control
 // grid over the reference (geometry.hpp SUBCORT_CPP contract; the affine
 // initialization is baked into the control values, so downstream resampling
-// needs only the grid). Cost = SSD(ref, flo∘T) + be * ||Δ(d - d_affine)||²
-// (second-difference bending-energy surrogate that leaves the affine part
-// free), optimized by gradient descent on a 2-level pyramid. Written from
-// the FFD method description (Rueckert et al.), not from NiftyReg sources.
+// needs only the grid). Cost = D(ref, flo∘T) + be * ||Δ(d - d_affine)||²
+// where D is SSD by default or, with -nmi, 2 - NMI from a Parzen-window
+// (linear hat kernel) joint histogram — the reference's NiftyReg reg_f3d is
+// NMI-driven, which survives nonlinear intensity remaps between template
+// and subject where SSD does not. The bending term is a second-difference
+// surrogate that leaves the affine part free. Optimized by gradient descent
+// on a 2-level pyramid. Written from the FFD method description (Rueckert
+// et al.) and the standard Parzen-NMI gradient derivation, not from
+// NiftyReg sources.
 
 #include <algorithm>
 #include <cmath>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
@@ -48,49 +55,62 @@ AxisWeights axis_weights(int64_t n, double spacing) {
   return aw;
 }
 
-// Image gradient (central differences), per component, in voxel units.
-void gradient_volumes(const Image& img, std::vector<float> g[3]) {
-  for (int c = 0; c < 3; ++c) g[c].assign(img.nvox(), 0.0f);
-  for (int64_t z = 0; z < img.nz(); ++z)
-    for (int64_t y = 0; y < img.ny(); ++y)
-      for (int64_t x = 0; x < img.nx(); ++x) {
-        int64_t i = x + img.nx() * (y + img.ny() * z);
-        g[0][i] = 0.5f * (img.at(std::min(x + 1, img.nx() - 1), y, z) -
-                          img.at(std::max<int64_t>(x - 1, 0), y, z));
-        g[1][i] = 0.5f * (img.at(x, std::min(y + 1, img.ny() - 1), z) -
-                          img.at(x, std::max<int64_t>(y - 1, 0), z));
-        g[2][i] = 0.5f * (img.at(x, y, std::min(z + 1, img.nz() - 1)) -
-                          img.at(x, y, std::max<int64_t>(z - 1, 0)));
-      }
-}
-
-double trilinear(const std::vector<float>& vol, const Image& like,
-                 double x, double y, double z) {
-  Image tmp;  // sample via a lightweight view
-  const int64_t nx = like.nx(), ny = like.ny(), nz = like.nz();
+// Trilinear sample of img at voxel coords (x,y,z) plus the EXACT derivative
+// of the interpolant wrt the coords (what autodiff of a trilinear gather
+// gives). A precomputed central-difference gradient volume is too far off
+// the interpolant's true local slope for the NMI gradient to stay usable.
+double sample_with_grad(const Image& img, double x, double y, double z,
+                        double g[3]) {
+  const int64_t nx = img.nx(), ny = img.ny(), nz = img.nz();
   const int64_t x0 = (int64_t)std::floor(x), y0 = (int64_t)std::floor(y),
                 z0 = (int64_t)std::floor(z);
   const double fx = x - x0, fy = y - y0, fz = z - z0;
   double acc = 0;
+  g[0] = g[1] = g[2] = 0;
   for (int dz = 0; dz < 2; ++dz)
     for (int dy = 0; dy < 2; ++dy)
       for (int dx = 0; dx < 2; ++dx) {
         int64_t xi = x0 + dx, yi = y0 + dy, zi = z0 + dz;
         if (xi < 0 || yi < 0 || zi < 0 || xi >= nx || yi >= ny || zi >= nz)
           continue;
-        double w = (dx ? fx : 1 - fx) * (dy ? fy : 1 - fy) * (dz ? fz : 1 - fz);
-        acc += w * vol[xi + nx * (yi + ny * zi)];
+        double wx = dx ? fx : 1 - fx, wy = dy ? fy : 1 - fy,
+               wz = dz ? fz : 1 - fz;
+        double v = img.data[xi + nx * (yi + ny * zi)];
+        acc += wx * wy * wz * v;
+        g[0] += (dx ? 1.0 : -1.0) * wy * wz * v;
+        g[1] += wx * (dy ? 1.0 : -1.0) * wz * v;
+        g[2] += wx * wy * (dz ? 1.0 : -1.0) * v;
       }
-  (void)tmp;
   return acc;
+}
+
+constexpr int kBins = 32;  // Parzen joint-histogram bins per image (NMI)
+
+// Cubic B-spline Parzen window (NiftyReg's choice): a linear hat kernel
+// makes the NMI landscape kinky enough that descent stalls (measured ~65%
+// gradient sign agreement with finite differences; the cubic is smooth).
+// Map a [0,1] intensity to bin coordinate t = x*(kBins-3)+1 so the 4-bin
+// support stays inside [0, kBins-1]; returns the first bin index, fills
+// w[4] (and dw[4] = d(weight)/dt when non-null).
+inline int parzen_bins(double x01, double* w, double* dw) {
+  double t = x01 * (kBins - 3) + 1.0;
+  int ft = std::clamp((int)t, 1, kBins - 3);
+  double u = t - ft;
+  geom::bspline_weights(u, w);
+  if (dw) {
+    dw[0] = -0.5 * (1 - u) * (1 - u);
+    dw[1] = -2.0 * u + 1.5 * u * u;
+    dw[2] = 0.5 + u - 1.5 * u * u;
+    dw[3] = 0.5 * u * u;
+  }
+  return ft - 1;
 }
 
 // One optimization run at a given resolution level.
 void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
-                    const std::vector<float>& d_affine, int iters, double be) {
+                    const std::vector<float>& d_affine, int iters, double be,
+                    bool use_nmi) {
   const Affine flo_w2v = geom::inverse(flo.affine);
-  std::vector<float> fgrad[3];
-  gradient_volumes(flo, fgrad);
 
   AxisWeights awx = axis_weights(ref.nx(), grid.spacing);
   AxisWeights awy = axis_weights(ref.ny(), grid.spacing);
@@ -98,12 +118,67 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
 
   const int64_t ncx = grid.ncx, ncy = grid.ncy, ncz = grid.ncz;
   std::vector<double> g(ncx * ncy * ncz * 3);
-  double prev_cost = 1e300;
+  double prev_cost = 1e300, best_cost = 1e300;
+  double step_scale = 0.4;
+  int stall = 0;
+  std::vector<float> best_disp = grid.disp;
+  std::vector<double> adam_m, adam_v;
+  if (use_nmi) {
+    adam_m.assign(ncx * ncy * ncz * 3, 0.0);
+    adam_v.assign(ncx * ncy * ncz * 3, 0.0);
+  }
 
-  for (int it = 0; it < iters; ++it) {
-    std::fill(g.begin(), g.end(), 0.0);
+  // Fixed intensity normalizations for the NMI histogram: ref's own range;
+  // flo's range extended to 0 (out-of-volume samples are 0). Matches the
+  // JAX twin (registration/jax_ffd.py) for cross-backend comparability.
+  double rmin = 0, rrange = 1, fmin = 0, frange = 1;
+  std::vector<float> fvbuf, wvbuf;  // per-voxel warp state for pass 2
+  if (use_nmi) {
+    double rmax = -1e300, fmax = -1e300;
+    rmin = 1e300;
+    double flo_min = 1e300;
+    for (float v : ref.data) { rmin = std::min(rmin, (double)v); rmax = std::max(rmax, (double)v); }
+    for (float v : flo.data) { flo_min = std::min(flo_min, (double)v); fmax = std::max(fmax, (double)v); }
+    fmin = std::min(flo_min, 0.0);
+    fmax = std::max(fmax, 0.0);
+    rrange = std::max(rmax - rmin, 1e-8);
+    frange = std::max(fmax - fmin, 1e-8);
+    fvbuf.resize(ref.nvox() * 3);
+    wvbuf.resize(ref.nvox());
+  }
+
+  // Evaluate cost (and, when want_grad, the gradient into g) at grid.disp.
+  auto evaluate = [&](bool want_grad) -> double {
+    if (want_grad) std::fill(g.begin(), g.end(), 0.0);
     double cost = 0;
+    double hist[kBins][kBins];
+    if (use_nmi) std::memset(hist, 0, sizeof(hist));
 
+    // Distribute dCost/d(warped value) = f at a voxel into the control grid;
+    // gvox is the exact interpolant gradient at the voxel's flo coordinate.
+    auto distribute = [&](int64_t bx, int64_t by, int64_t bz,
+                          const double* wx, const double* wy, const double* wz,
+                          const double gvox[3], double f) {
+      // d(warped)/d(world displacement) = grad_vox(flo) * d(vox)/d(world)
+      double gw[3];
+      for (int c = 0; c < 3; ++c)
+        gw[c] = gvox[0] * flo_w2v[0][c] + gvox[1] * flo_w2v[1][c] +
+                gvox[2] * flo_w2v[2][c];
+      for (int a = 0; a < 4; ++a)
+        for (int b = 0; b < 4; ++b)
+          for (int c = 0; c < 4; ++c) {
+            if (bx + a >= ncx || by + b >= ncy || bz + c >= ncz) continue;
+            double w = wx[a] * wy[b] * wz[c] * f;
+            int64_t ci = (bx + a) + ncx * ((by + b) + ncy * (bz + c));
+            g[ci] += w * gw[0];
+            g[ci + ncx * ncy * ncz] += w * gw[1];
+            g[ci + 2 * ncx * ncy * ncz] += w * gw[2];
+          }
+    };
+
+    // Pass 1: warp every voxel. SSD accumulates its gradient inline; NMI
+    // stores the warp state and builds the joint histogram first (its
+    // per-voxel gradient needs the full histogram).
     for (int64_t z = 0; z < ref.nz(); ++z) {
       const double* wz = &awz.w[z * 4];
       int64_t bz = awz.base[z];
@@ -128,30 +203,101 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
           Vec3 fw = {w0.x + dx, w0.y + dy, w0.z + dz};
           Vec3 fv = geom::apply(flo_w2v, fw);
 
-          double wv = flo.sample(fv.x, fv.y, fv.z);
+          double gvox[3];
+          double wv = sample_with_grad(flo, fv.x, fv.y, fv.z, gvox);
+          int64_t vi = x + ref.nx() * (y + ref.ny() * z);
+
+          if (use_nmi) {
+            fvbuf[vi * 3 + 0] = (float)fv.x;
+            fvbuf[vi * 3 + 1] = (float)fv.y;
+            fvbuf[vi * 3 + 2] = (float)fv.z;
+            wvbuf[vi] = (float)wv;
+            double wa[4], wb[4];
+            int a0 = parzen_bins((ref.at(x, y, z) - rmin) / rrange, wa, nullptr);
+            int b0 = parzen_bins(std::clamp((wv - fmin) / frange, 0.0, 1.0),
+                                 wb, nullptr);
+            for (int a = 0; a < 4; ++a)
+              for (int b = 0; b < 4; ++b)
+                hist[a0 + a][b0 + b] += wa[a] * wb[b];
+            continue;
+          }
+
           double r = wv - ref.at(x, y, z);
           cost += r * r;
-          if (r == 0.0) continue;
+          if (r == 0.0 || !want_grad) continue;
+          distribute(bx, by, bz, wx, wy, wz, gvox, 2.0 * r);
+        }
+      }
+    }
 
-          // d(warped)/d(world displacement) = grad_vox(flo) * d(vox)/d(world)
-          double gx = trilinear(fgrad[0], flo, fv.x, fv.y, fv.z);
-          double gy = trilinear(fgrad[1], flo, fv.x, fv.y, fv.z);
-          double gz = trilinear(fgrad[2], flo, fv.x, fv.y, fv.z);
-          double gw[3];
-          for (int c = 0; c < 3; ++c)
-            gw[c] = gx * flo_w2v[0][c] + gy * flo_w2v[1][c] + gz * flo_w2v[2][c];
+    if (use_nmi) {
+      // Entropies of the Parzen joint histogram; NMI = (Hr+Hw)/Hrw in [1,2].
+      const double n = (double)ref.nvox();
+      double pr[kBins] = {0}, pw[kBins] = {0};
+      for (int a = 0; a < kBins; ++a)
+        for (int b = 0; b < kBins; ++b) {
+          pr[a] += hist[a][b] / n;
+          pw[b] += hist[a][b] / n;
+        }
+      const double eps = 1e-12;
+      double hr = 0, hw = 0, hrw = 0;
+      for (int a = 0; a < kBins; ++a) {
+        if (pr[a] > 0) hr -= pr[a] * std::log(pr[a] + eps);
+        if (pw[a] > 0) hw -= pw[a] * std::log(pw[a] + eps);
+        for (int b = 0; b < kBins; ++b) {
+          double p = hist[a][b] / n;
+          if (p > 0) hrw -= p * std::log(p + eps);
+        }
+      }
+      hrw = std::max(hrw, eps);
+      const double nmi = (hr + hw) / hrw;
+      cost += (2.0 - nmi) * n;  // scaled so the step heuristic behaves like SSD
 
-          const double f = 2.0 * r;
-          for (int a = 0; a < 4; ++a)
-            for (int b = 0; b < 4; ++b)
-              for (int c = 0; c < 4; ++c) {
-                double w = wx[a] * wy[b] * wz[c] * f;
-                int64_t ci = (bx + a) + ncx * ((by + b) + ncy * (bz + c));
-                if (bx + a >= ncx || by + b >= ncy || bz + c >= ncz) continue;
-                g[ci] += w * gw[0];
-                g[ci + ncx * ncy * ncz] += w * gw[1];
-                g[ci + 2 * ncx * ncy * ncz] += w * gw[2];
-              }
+      // Q[a][b] = dCost/dH_ab (per histogram count).
+      // dHr/dP = -(log pr + 1); dHw/dP = -(log pw + 1); dHrw/dP = -(log P + 1);
+      // dNMI/dP = (dHr + dHw)/Hrw - NMI/Hrw * dHrw; Cost = (2-NMI)*n, P = H/n.
+      double Q[kBins][kBins];
+      for (int a = 0; a < kBins; ++a)
+        for (int b = 0; b < kBins; ++b) {
+          double p = std::max(hist[a][b] / n, eps);
+          double dhr = -(std::log(std::max(pr[a], eps)) + 1.0);
+          double dhw = -(std::log(std::max(pw[b], eps)) + 1.0);
+          double dhrw = -(std::log(p) + 1.0);
+          double dnmi = (dhr + dhw) / hrw - nmi / hrw * dhrw;
+          Q[a][b] = -dnmi;  // times n (from cost scale) times 1/n (dP/dH)
+        }
+
+      // Pass 2: per-voxel f = dCost/d(warped) via the Parzen-window
+      // derivative, then the same control-grid distribution as SSD.
+      const double dtw_dwv = (kBins - 3) / frange;
+      for (int64_t z = 0; want_grad && z < ref.nz(); ++z) {
+        const double* wz = &awz.w[z * 4];
+        int64_t bz = awz.base[z];
+        for (int64_t y = 0; y < ref.ny(); ++y) {
+          const double* wy = &awy.w[y * 4];
+          int64_t by = awy.base[y];
+          for (int64_t x = 0; x < ref.nx(); ++x) {
+            int64_t vi = x + ref.nx() * (y + ref.ny() * z);
+            double wv = wvbuf[vi];
+            // boundary voxels (wv at the range edge, e.g. the huge
+            // background/out-of-volume mass at 0) keep their derivative —
+            // dropping them loses the dominant signal (the JAX twin's
+            // clip() passes gradient at the boundary inclusively too)
+            double wa[4], wb[4], dwb[4];
+            int a0 = parzen_bins((ref.at(x, y, z) - rmin) / rrange, wa, nullptr);
+            int b0 = parzen_bins(std::clamp((wv - fmin) / frange, 0.0, 1.0),
+                                 wb, dwb);
+            double f = 0;
+            for (int a = 0; a < 4; ++a)
+              for (int b = 0; b < 4; ++b)
+                f += wa[a] * Q[a0 + a][b0 + b] * dwb[b];
+            f *= dtw_dwv;
+            if (f == 0.0) continue;
+            double gvox[3];
+            sample_with_grad(flo, fvbuf[vi * 3], fvbuf[vi * 3 + 1],
+                             fvbuf[vi * 3 + 2], gvox);
+            distribute(awx.base[x], by, bz, &awx.w[x * 4], wy, wz, gvox, f);
+          }
         }
       }
     }
@@ -171,6 +317,7 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
                            at(i, j, k - 1, c) + at(i, j, k + 1, c) -
                            6.0 * at(i, j, k, c);
               cost += be * lap * lap;
+              if (!want_grad) continue;
               // gradient: distribute -2*be*lap with the Laplacian stencil
               int64_t ci = i + ncx * (j + ncy * (k + ncz * c));
               g[ci] += -12.0 * be * lap;
@@ -182,21 +329,109 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
               g[ci + ncx * ncy] += 2.0 * be * lap;
             }
     }
+    return cost;
+  };
+
+  for (int it = 0; it < iters; ++it) {
+    double cost = evaluate(true);
+
+    if (std::getenv("SUBCORT_REG_GRADCHECK") && it == 0) {
+      // FD-check: single component + directional derivative along -g.
+      size_t imax = 0;
+      double gmax0 = 0;
+      for (size_t i = 0; i < g.size(); ++i) {
+        if (std::fabs(g[i]) > std::fabs(g[imax])) imax = i;
+        gmax0 = std::max(gmax0, std::fabs(g[i]));
+      }
+      std::vector<double> gsave = g;
+      std::vector<float> dsave = grid.disp;
+      const double h = 1e-3;
+      grid.disp[imax] = (float)(dsave[imax] + h);
+      double cplus = evaluate(false);
+      grid.disp = dsave;
+      std::fprintf(stderr, "[gradcheck] i=%zu analytic=%.8g fd=%.8g\n",
+                   imax, gsave[imax], (cplus - cost) / h);
+      int agree = 0, checked = 0;
+      for (size_t i = 7; i < g.size(); i += g.size() / 24) {
+        if (std::fabs(gsave[i]) < 1e-6) continue;
+        grid.disp[i] = (float)(dsave[i] + h);
+        double cp = evaluate(false);
+        grid.disp[i] = dsave[i];
+        double fd = (cp - cost) / h;
+        ++checked;
+        if ((fd > 0) == (gsave[i] > 0)) ++agree;
+        std::fprintf(stderr, "[gradcheck]   i=%zu analytic=%+.6g fd=%+.6g\n",
+                     i, gsave[i], fd);
+      }
+      std::fprintf(stderr, "[gradcheck] sign agreement %d/%d\n", agree, checked);
+      for (double t : {1e-4, 1e-3, 1e-2}) {
+        for (size_t i = 0; i < grid.disp.size(); ++i)
+          grid.disp[i] = (float)(dsave[i] - t / gmax0 * gsave[i]);
+        double cstep = evaluate(false);
+        std::fprintf(stderr, "[gradcheck] maxmove=%g dcost=%.8g\n", t,
+                     cstep - cost);
+        grid.disp = dsave;
+      }
+      g = gsave;
+    }
+
+    if (std::getenv("SUBCORT_REG_DEBUG"))
+      std::fprintf(stderr, "[f3d] it=%d cost=%.8g scale=%g\n", it, cost,
+                   step_scale);
+
+    if (cost < best_cost) {
+      best_cost = cost;
+      best_disp = grid.disp;
+    }
+
+    double vox_mm = std::sqrt(ref.affine[0][0] * ref.affine[0][0] +
+                              ref.affine[1][0] * ref.affine[1][0] +
+                              ref.affine[2][0] * ref.affine[2][0]);
+
+    if (use_nmi) {
+      // Adam with a linearly decaying step (mirrors the JAX twin): the
+      // hat-kernel NMI landscape has a descent region far narrower than a
+      // gmax-normalized trust step can track, but per-parameter adaptive
+      // ~lr_mm moves converge on it (proven by the JAX backend, which
+      // optimizes the identical cost with Adam).
+      const double b1 = 0.9, b2 = 0.999, aeps = 1e-8;
+      // linear decay to lr/10 within the level, like the JAX twin
+      const double lr = 0.4 * vox_mm * (1.0 - 0.9 * it / std::max(iters - 1, 1));
+      for (size_t i = 0; i < g.size(); ++i) {
+        adam_m[i] = b1 * adam_m[i] + (1 - b1) * g[i];
+        adam_v[i] = b2 * adam_v[i] + (1 - b2) * g[i] * g[i];
+        double mh = adam_m[i] / (1 - std::pow(b1, it + 1));
+        double vh = adam_v[i] / (1 - std::pow(b2, it + 1));
+        grid.disp[i] = (float)(grid.disp[i] - lr * mh / (std::sqrt(vh) + aeps));
+      }
+      prev_cost = cost;
+      continue;
+    }
+
+    // SSD: adaptive normalized step — on a cost increase, revert the last
+    // step and halve the trust region.
+    if (it > 0 && cost > prev_cost) {
+      grid.disp = best_disp;
+      step_scale *= 0.5;
+      if (step_scale < 1e-3) break;
+      continue;  // recompute cost/gradient at the reverted point
+    }
+    if (it > 4 && prev_cost - cost < 1e-7 * std::fabs(prev_cost)) {
+      if (++stall >= 3) break;  // three consecutive negligible improvements
+    } else {
+      stall = 0;
+    }
+    prev_cost = cost;
 
     double gmax = 0;
     for (double v : g) gmax = std::max(gmax, std::fabs(v));
     if (gmax < 1e-12) break;
     // step: a fraction of the control spacing in world units
-    double vox_mm = std::sqrt(ref.affine[0][0] * ref.affine[0][0] +
-                              ref.affine[1][0] * ref.affine[1][0] +
-                              ref.affine[2][0] * ref.affine[2][0]);
-    double step = 0.4 * grid.spacing * vox_mm / gmax;
+    double step = step_scale * grid.spacing * vox_mm / gmax;
     for (size_t i = 0; i < grid.disp.size(); ++i)
       grid.disp[i] = (float)(grid.disp[i] - step * g[i]);
-
-    if (cost > prev_cost * 0.9999 && it > 4) break;  // converged/stalled
-    prev_cost = cost;
   }
+  if (best_cost < 1e300) grid.disp = best_disp;
 }
 
 }  // namespace
@@ -205,6 +440,7 @@ int main(int argc, char** argv) {
   std::string ref_path, flo_path, aff_path, cpp_path, res_path;
   double sx_mm = 10.0, be = 0.01;
   int maxit = 25;
+  bool use_nmi = false;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -219,13 +455,14 @@ int main(int argc, char** argv) {
     else if (a == "-sx") sx_mm = std::atof(next().c_str());
     else if (a == "-maxit") maxit = std::atoi(next().c_str());
     else if (a == "-be") be = std::atof(next().c_str());
+    else if (a == "-nmi" || a == "--nmi") use_nmi = true;
     else if (a == "-voff") { }
     else { std::fprintf(stderr, "unknown arg %s\n", a.c_str()); return 1; }
   }
   if (ref_path.empty() || flo_path.empty() || cpp_path.empty()) {
     std::fprintf(stderr,
                  "usage: reg_f3d -ref R -flo F [-aff A.txt] -cpp OUT.nii "
-                 "[-res OUT] [-sx mm] [-maxit n] [-be w]\n");
+                 "[-res OUT] [-sx mm] [-maxit n] [-be w] [-nmi]\n");
     return 1;
   }
 
@@ -267,10 +504,11 @@ int main(int argc, char** argv) {
     CppGrid coarse = grid;
     coarse.spacing = grid.spacing / 2.0;
     coarse.ref_affine = ref1.affine;
-    optimize_level(ref1, flo1, coarse, d_affine, maxit, be);
+    optimize_level(ref1, flo1, coarse, d_affine, maxit, be, use_nmi);
     grid.disp = coarse.disp;
 
-    optimize_level(ref0, flo0, grid, d_affine, std::max(4, maxit / 3), be);
+    optimize_level(ref0, flo0, grid, d_affine, std::max(4, maxit / 3), be,
+                   use_nmi);
 
     geom::save_cpp(grid, cpp_path);
 

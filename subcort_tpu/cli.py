@@ -22,12 +22,22 @@ import sys
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="subcort_tpu",
                                 description="TPU-native sub-cortical segmentation")
-    p.add_argument("command", choices=["train", "infer", "run", "evaluate"],
+    p.add_argument("command",
+                   choices=["train", "infer", "run", "evaluate", "import-atlas"],
                    help="train: fit the model; infer: segment the inference "
                         "folder; run: both; evaluate: Dice of existing "
-                        "segmentations vs ground truth")
+                        "segmentations vs ground truth; import-atlas: "
+                        "validate + install user-supplied MNI atlas assets")
     p.add_argument("--config", default="configuration.cfg",
                    help="path to a reference-format configuration.cfg")
+    p.add_argument("--template", default=None,
+                   help="import-atlas: path to the MNI T1 template NIfTI")
+    p.add_argument("--atlas", default=None,
+                   help="import-atlas: path to the (X,Y,Z,15) probabilistic "
+                        "subcortical atlas NIfTI (channel 14 = background)")
+    p.add_argument("--atlas-dir", default=None,
+                   help="import-atlas: install directory (default: the "
+                        "package atlases/ directory)")
     p.add_argument("--weights-path", default="nets",
                    help="experiment artifact root (reference: nets/)")
     p.add_argument("--augment", action="store_true",
@@ -41,6 +51,23 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.command == "import-atlas":
+        # pure file operation — no config, no accelerator
+        if not (args.template and args.atlas):
+            print("import-atlas requires --template and --atlas",
+                  file=sys.stderr)
+            return 2
+        from subcort_tpu.registration.atlas import (AtlasValidationError,
+                                                    install_atlas)
+        try:
+            dest = install_atlas(args.template, args.atlas,
+                                 dest_dir=args.atlas_dir)
+        except AtlasValidationError as e:
+            print(f"atlas validation failed: {e}", file=sys.stderr)
+            return 1
+        print(f"--> atlas assets installed into {dest}")
+        return 0
 
     from subcort_tpu.config import load_options, print_options, select_platform
 

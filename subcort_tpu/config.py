@@ -82,6 +82,8 @@ class Options(Mapping[str, Any]):
     cc_backend: str = "scipy"       # post-process connected components: scipy | device
     fcn_max_bbox_voxels: int = 6_000_000  # dense-evaluator sub-slab budget
     debug_nans: bool = False        # jax_debug_nans: raise on first NaN (debug only)
+    reg_backend: str = "native"     # deformable registration: native (C++) | jax (on-device)
+    reg_similarity: str = "ssd"     # deformable-stage cost: ssd | nmi (base.py:516-521 is NMI)
 
     # ------------------------------------------------------------------ dict view
     def __getitem__(self, key: str) -> Any:
@@ -176,6 +178,8 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
         fcn_max_bbox_voxels=int(opt("tpu", "fcn_max_bbox_voxels",
                                     6_000_000, int)),
         debug_nans=_as_bool(opt("tpu", "debug_nans", False)),
+        reg_backend=opt("tpu", "reg_backend", "native").strip(),
+        reg_similarity=opt("tpu", "reg_similarity", "ssd").strip(),
     )
     return o
 

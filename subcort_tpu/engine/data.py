@@ -48,6 +48,17 @@ class Subject:
     prior_path: str  # tmp/MNI_sub_probabilities.nii.gz
 
 
+def _configured_register(register_masks, options: Options):
+    """Bind the cfg-selected registration backend/cost ([tpu] reg_backend /
+    reg_similarity) onto ``register_masks`` (reference: base.py:483-551 has
+    no knobs — NiftyReg NMI is hardwired there)."""
+    def run(path: str) -> float:
+        return register_masks(path,
+                              backend=options["reg_backend"],
+                              similarity=options["reg_similarity"])
+    return run
+
+
 def list_training_subjects(options: Options) -> List[Subject]:
     """Enumerate sorted subject subfolders of the train folder
     (base.py:143-149 conventions)."""
@@ -134,7 +145,8 @@ def build_training_index(options: Options,
 
         if not os.path.exists(sub.prior_path):
             if register_fn is None:
-                from subcort_tpu.registration import register_masks as register_fn  # lazy
+                from subcort_tpu.registration import register_masks
+                register_fn = _configured_register(register_masks, options)
             register_fn(sub.t1_path)
         prior = np.asarray(load_nii(sub.prior_path).data, dtype=np.float32)
         vec = prior[centers[:, 0], centers[:, 1], centers[:, 2]].copy()

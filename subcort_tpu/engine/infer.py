@@ -447,7 +447,9 @@ def test_scan(params, scan_path: str, options: Options,
 
     if not os.path.exists(prior_path):
         if register_fn is None:
-            from subcort_tpu.registration import register_masks as register_fn  # lazy
+            from subcort_tpu.engine.data import _configured_register
+            from subcort_tpu.registration import register_masks
+            register_fn = _configured_register(register_masks, options)
         register_fn(scan_path)
 
     t1 = load_nii(scan_path)

@@ -21,7 +21,90 @@ import os
 
 import numpy as np
 
-from subcort_tpu.io import NiftiImage, save_nii
+from subcort_tpu.io import NiftiImage, load_nii, save_nii
+
+
+class AtlasValidationError(ValueError):
+    """A user-supplied atlas asset does not match the required schema."""
+
+
+def validate_atlas_assets(template_path: str, atlas_path: str):
+    """Validate user-supplied MNI assets against the schema the pipeline
+    assumes (consumed at base.py:511,528 in the reference):
+
+      template  (X, Y, Z) scalar T1 intensities
+      atlas     (X, Y, Z, 15) probabilities, channels 0..13 = structures,
+                channel 14 = background, values in [0, 1], same grid as
+                the template
+
+    Returns (template NiftiImage, atlas NiftiImage) on success; raises
+    AtlasValidationError with an actionable message otherwise.
+    """
+    for p in (template_path, atlas_path):
+        if not os.path.exists(p):
+            raise AtlasValidationError(f"{p}: file not found")
+    tmpl = load_nii(template_path)
+    atlas = load_nii(atlas_path)
+
+    tdata = np.asarray(tmpl.data)
+    adata = np.asarray(atlas.data)
+    if tdata.ndim == 4 and tdata.shape[3] == 1:
+        tdata = tdata[..., 0]
+    if tdata.ndim != 3:
+        raise AtlasValidationError(
+            f"{template_path}: template must be a 3D volume, got shape {tdata.shape}")
+    if adata.ndim != 4 or adata.shape[3] != 15:
+        raise AtlasValidationError(
+            f"{atlas_path}: atlas must be (X, Y, Z, 15) — 14 structure "
+            f"channels + background at channel 14 — got shape {adata.shape}")
+    if adata.shape[:3] != tdata.shape:
+        raise AtlasValidationError(
+            f"atlas grid {adata.shape[:3]} does not match template grid "
+            f"{tdata.shape}; both must live on the same MNI voxel grid")
+    if not np.isfinite(adata).all() or not np.isfinite(tdata).all():
+        raise AtlasValidationError("atlas/template contain non-finite values")
+    amin, amax = float(adata.min()), float(adata.max())
+    if amin < -1e-4 or amax > 1.0 + 1e-4:
+        raise AtlasValidationError(
+            f"atlas values must be probabilities in [0, 1], got "
+            f"[{amin:.4g}, {amax:.4g}]")
+    # channel-14 convention: background should dominate OUTSIDE the
+    # structures, i.e. carry more total mass than any single structure
+    ch_mass = adata.reshape(-1, 15).sum(0)
+    if ch_mass[14] < ch_mass[:14].max():
+        raise AtlasValidationError(
+            "channel 14 carries less mass than a structure channel — it must "
+            "be the background channel (reference convention, base.py:392-394); "
+            "is the atlas channel order different?")
+    if (ch_mass[:14] <= 0).any():
+        empty = [int(i) for i in np.where(ch_mass[:14] <= 0)[0]]
+        raise AtlasValidationError(
+            f"structure channels {empty} are entirely empty")
+    return tmpl, atlas
+
+
+def install_atlas(template_path: str, atlas_path: str,
+                  dest_dir: str | None = None) -> str:
+    """Validate and install user-supplied atlas assets so the registration
+    pipeline finds them (the reference ships them via git-LFS; here they
+    are external data — SURVEY.md §2.4). Returns the install directory.
+
+    Assets are written under ``dest_dir`` (default: the package's
+    ``atlases/`` directory, the last stop of the resolution order in
+    driver._resolve_atlas_dir) with the canonical filenames and float32
+    dtype, re-encoded through our own NIfTI writer so downstream readers
+    see a uniform encoding.
+    """
+    from subcort_tpu.registration.driver import (ATLAS_NAME, DEFAULT_ATLAS_DIR,
+                                                 TEMPLATE_NAME)
+    tmpl, atlas = validate_atlas_assets(template_path, atlas_path)
+    dest = dest_dir or DEFAULT_ATLAS_DIR
+    os.makedirs(dest, exist_ok=True)
+    save_nii(NiftiImage(np.asarray(tmpl.data, np.float32), tmpl.affine),
+             os.path.join(dest, TEMPLATE_NAME))
+    save_nii(NiftiImage(np.asarray(atlas.data, np.float32), atlas.affine),
+             os.path.join(dest, ATLAS_NAME))
+    return dest
 
 
 def make_synthetic_atlas(out_dir: str, shape=(64, 72, 60), seed: int = 0,

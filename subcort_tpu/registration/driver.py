@@ -76,7 +76,8 @@ def _run(cmd: list[str]) -> None:
 def register_masks(input_scan: str, atlas_dir: str | None = None,
                    tools_dir: str | None = None, per_channel: bool = False,
                    bugcompat_mask_channels: bool = True,
-                   dilate_iters: int = 5, backend: str = "native") -> float:
+                   dilate_iters: int = 5, backend: str = "native",
+                   similarity: str = "ssd") -> float:
     """Register the MNI atlas into subject space; returns elapsed seconds
     (the reference returns seconds too and the caller prints minutes).
 
@@ -84,7 +85,14 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
     C++ block-matching affine (stage 1) but runs the deformable stage on
     device (registration/jax_ffd.py) and warps all 15 prior channels with
     the fused JAX resampler — same transform.nii contract either way.
+
+    similarity='ssd' (default) or 'nmi' selects the deformable-stage cost.
+    The reference's reg_f3d is NiftyReg's NMI-driven FFD (base.py:516-521);
+    NMI survives nonlinear intensity differences between template and
+    subject (scanner/protocol effects) where SSD does not.
     """
+    if similarity not in ("ssd", "nmi"):
+        raise RegistrationError(f"similarity must be 'ssd' or 'nmi', got {similarity!r}")
     image_dir, _ = os.path.split(os.path.abspath(input_scan))
     tmp = os.path.join(image_dir, "tmp")
     os.makedirs(tmp, exist_ok=True)
@@ -119,7 +127,7 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
                 _np.asarray(t1_img.data, _np.float32),
                 _np.asarray(tmpl_img.data, _np.float32),
                 ref_affine=t1_img.affine, flo_affine=tmpl_img.affine,
-                init_affine=A)
+                init_affine=A, cost=similarity)
             save_cpp_grid(grid, cpp)
             warped = resample_through_cpp(
                 _np.asarray(tmpl_img.data, _np.float32), tmpl_img.affine,
@@ -130,7 +138,8 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
             _run([os.path.join(tools, "reg_f3d"),
                   "-ref", input_scan, "-flo", template,
                   "-aff", transf, "-cpp", cpp,
-                  "-res", os.path.join(tmp, "rT1d_template.nii.gz")])
+                  "-res", os.path.join(tmp, "rT1d_template.nii.gz")]
+                 + (["-nmi"] if similarity == "nmi" else []))
 
     # stage 3: warp the 15 prior channels + build the binary ROI mask
     prior_path = os.path.join(tmp, "MNI_sub_probabilities.nii.gz")

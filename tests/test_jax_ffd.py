@@ -42,6 +42,66 @@ def test_jax_ffd_reduces_mismatch(warped_pair):
     assert after < before * 0.6
 
 
+@pytest.fixture(scope="module")
+def remapped_pair(warped_pair):
+    """Same geometric warp, but the floating image's intensities are
+    nonlinearly remapped (inversion + square): v -> (max-v)^2/max. SSD is
+    misled by the intensity mismatch; NMI (the reference reg_f3d's cost,
+    base.py:516-521) only needs a consistent intensity *relationship*."""
+    ref, flo = warped_pair
+    fmax = flo.max()
+    flo_remap = ((fmax - flo) ** 2 / fmax).astype(np.float32)
+    ref_remap = ((fmax - ref) ** 2 / fmax).astype(np.float32)
+    return ref, flo_remap, ref_remap
+
+
+def _mse(a, b):
+    return float(((a - b) ** 2)[4:-4].mean())
+
+
+def test_jax_ffd_nmi_recovers_under_intensity_remap(remapped_pair):
+    ref, flo_remap, ref_remap = remapped_pair
+    before = _mse(flo_remap, ref_remap)
+
+    grid, _ = register_ffd_jax(ref, flo_remap, spacing_mm=6.0,
+                               iters=(60, 10), cost="nmi")
+    warped = resample_through_cpp(flo_remap, np.eye(4), grid, ref.shape, np.eye(4))
+    assert _mse(warped, ref_remap) < before * 0.05  # NMI recovers alignment
+
+    grid_ssd, _ = register_ffd_jax(ref, flo_remap, spacing_mm=6.0,
+                                   iters=(60, 10), cost="ssd")
+    warped_ssd = resample_through_cpp(flo_remap, np.eye(4), grid_ssd,
+                                      ref.shape, np.eye(4))
+    # SSD chases the intensity mismatch and destroys the image
+    assert _mse(warped_ssd, ref_remap) > before
+
+
+def test_jax_ffd_rejects_unknown_cost(warped_pair):
+    ref, flo = warped_pair
+    with pytest.raises(ValueError, match="cost"):
+        register_ffd_jax(ref, flo, cost="ncc")
+
+
+@pytest.mark.skipif(not os.path.exists(os.path.join(TOOLS, "reg_f3d")),
+                    reason="native tools not built")
+def test_cpp_f3d_nmi_recovers_under_intensity_remap(remapped_pair, tmp_path):
+    ref, flo_remap, ref_remap = remapped_pair
+    ref_p = str(tmp_path / "ref.nii.gz")
+    flo_p = str(tmp_path / "flo.nii.gz")
+    save_nii(NiftiImage(ref), ref_p)
+    save_nii(NiftiImage(flo_remap), flo_p)
+    out = str(tmp_path / "out.nii.gz")
+    r = subprocess.run([os.path.join(TOOLS, "reg_f3d"),
+                        "-ref", ref_p, "-flo", flo_p,
+                        "-cpp", str(tmp_path / "transform.nii"),
+                        "-res", out, "-sx", "6", "-maxit", "80", "-nmi"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    warped = load_nii(out).data
+    before = _mse(flo_remap, ref_remap)
+    assert _mse(warped, ref_remap) < before * 0.2
+
+
 @pytest.mark.skipif(not os.path.exists(os.path.join(TOOLS, "reg_resample")),
                     reason="native tools not built")
 def test_jax_ffd_transform_consumable_by_cpp_tool(warped_pair, tmp_path):

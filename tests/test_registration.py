@@ -249,3 +249,74 @@ def test_register_masks_missing_atlas_raises(tmp_path):
     with pytest.raises(RegistrationError):
         register_masks(scan, atlas_dir=str(tmp_path / "nope"))
     shutil.rmtree(str(scan_dir / "tmp"), ignore_errors=True)
+
+
+# --------------------------------------------------------- atlas ingestion
+
+def test_import_atlas_validates_and_installs(tmp_path):
+    """User-supplied assets pass schema validation and install under the
+    canonical names where _resolve_atlas_dir finds them (base.py:511,528
+    consumes exactly these two files)."""
+    from subcort_tpu.cli import main
+    from subcort_tpu.registration.atlas import validate_atlas_assets
+
+    src = tmp_path / "src"
+    tmpl, atlas = make_synthetic_atlas(str(src), shape=(24, 26, 22))
+    tp = str(src / "T1_template.nii.gz")
+    ap = str(src / "atlas_subcortical_MNI.nii.gz")
+    validate_atlas_assets(tp, ap)  # happy path raises nothing
+
+    dest = tmp_path / "installed"
+    rc = main(["import-atlas", "--template", tp, "--atlas", ap,
+               "--atlas-dir", str(dest)])
+    assert rc == 0
+    got_t = load_nii(str(dest / "T1_template.nii.gz")).data
+    got_a = load_nii(str(dest / "atlas_subcortical_MNI.nii.gz")).data
+    np.testing.assert_allclose(got_t, tmpl, atol=1e-5)
+    assert got_a.shape == atlas.shape and got_a.dtype == np.float32
+
+    # and register_masks resolves the installed directory
+    scan_dir = tmp_path / "subj"; scan_dir.mkdir()
+    scan = _save(scan_dir, "T1.nii.gz", np.roll(tmpl, 1, 0))
+    register_masks(scan, atlas_dir=str(dest))
+    assert os.path.exists(str(scan_dir / "tmp" / "MNI_sub_probabilities.nii.gz"))
+
+
+def test_import_atlas_rejects_bad_schema(tmp_path):
+    from subcort_tpu.cli import main
+    from subcort_tpu.registration.atlas import (AtlasValidationError,
+                                                validate_atlas_assets)
+
+    src = tmp_path / "src"
+    tmpl, atlas = make_synthetic_atlas(str(src), shape=(24, 26, 22))
+    tp = str(src / "T1_template.nii.gz")
+
+    # wrong channel count
+    bad14 = _save(tmp_path, "bad14.nii.gz", atlas[..., :14])
+    with pytest.raises(AtlasValidationError, match=r"\(X, Y, Z, 15\)"):
+        validate_atlas_assets(tp, bad14)
+
+    # grid mismatch with the template
+    off = _save(tmp_path, "off.nii.gz", atlas[:-2])
+    with pytest.raises(AtlasValidationError, match="grid"):
+        validate_atlas_assets(tp, off)
+
+    # not probabilities
+    scaled = _save(tmp_path, "scaled.nii.gz", atlas * 255.0)
+    with pytest.raises(AtlasValidationError, match=r"\[0, 1\]"):
+        validate_atlas_assets(tp, scaled)
+
+    # background channel misplaced (structure order rotated so ch 14 is a
+    # small structure, violating the channel-14 = background convention)
+    rolled = _save(tmp_path, "rolled.nii.gz", np.roll(atlas, 1, axis=3))
+    with pytest.raises(AtlasValidationError, match="channel 14"):
+        validate_atlas_assets(tp, rolled)
+
+    # missing file
+    with pytest.raises(AtlasValidationError, match="not found"):
+        validate_atlas_assets(tp, str(tmp_path / "absent.nii.gz"))
+
+    # CLI maps validation failure to a nonzero exit
+    assert main(["import-atlas", "--template", tp, "--atlas", bad14,
+                 "--atlas-dir", str(tmp_path / "d")]) == 1
+    assert main(["import-atlas"]) == 2
