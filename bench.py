@@ -111,10 +111,42 @@ def main():
     sel = centers[:, 0], centers[:, 1], centers[:, 2]
     agreement = float((labels[sel] == labels_patch[sel]).mean())
 
+    # independent oracle canary: the pure-numpy Lasagne-semantics forward
+    # (tests/lasagne_oracle.py, the same functional oracle the parity tests
+    # pin against) on a voxel sample of this full-scale scan. Drift common
+    # to both JAX engines (e.g. in the model itself) would pass the
+    # engine-agreement check but fail here.
+    oracle_agreement = None
+    if os.path.exists(REF_CKPT):
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        import lasagne_oracle as oracle
+
+        from subcort_tpu.ops import normalize_nonzero
+        from subcort_tpu.ops.patches import gather_triplanar_np
+
+        raw = oracle.load_raw(REF_CKPT)
+        # 256 samples ≈ 90 s of float64 numpy — enough resolution to flag
+        # drift (1 disagreement = 0.996) without dominating bench wall-clock
+        n_oracle = int(os.environ.get("SUBCORT_BENCH_ORACLE_N", "256"))
+        sub = centers[rng.choice(n_vox, size=n_oracle, replace=False)]
+        norm, _, _ = normalize_nonzero(image)
+        ax, co, sa = gather_triplanar_np(norm, sub)
+        vec = atlas[sub[:, 0], sub[:, 1], sub[:, 2]].astype(np.float32).copy()
+        empty = vec.sum(1) == 0
+        vec[empty] = 0.0
+        vec[empty, 14] = 1.0
+        want = oracle.forward(raw, ax[:, None], co[:, None], sa[:, None],
+                              vec).argmax(1)
+        got = labels[sub[:, 0], sub[:, 1], sub[:, 2]]
+        oracle_agreement = float((got == want).mean())
+
     print(json.dumps({
         "metric": "per_scan_segmentation_wallclock",
         "value": round(per_scan, 4),
         "fcn_vs_patch_agreement": round(agreement, 6),
+        "oracle_agreement": (round(oracle_agreement, 6)
+                             if oracle_agreement is not None else None),
         "unit": "seconds",
         "vs_baseline": round(TARGET_SECONDS / per_scan, 3),
         "voxels_per_sec_per_chip": int(n_vox / per_scan),

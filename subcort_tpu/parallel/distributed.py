@@ -32,15 +32,13 @@ def initialize(coordinator_address: Optional[str] = None,
         num_processes = int(os.environ.get("SUBCORT_NUM_PROCESSES", "1"))
     if num_processes <= 1:
         return
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
-            raise
+    if jax.distributed.is_initialized():
+        return  # idempotent: a second initialize would raise
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def host_shard(items: Sequence, process_index: Optional[int] = None,
@@ -56,7 +54,12 @@ def host_shard(items: Sequence, process_index: Optional[int] = None,
 def all_hosts_mean(value: float) -> float:
     """Mean of a host-local scalar across processes (e.g. per-host Dice).
 
-    Uses a tiny psum over all devices; safe on a single host too.
+    Uses a tiny jitted sum over a globally sharded array; safe on a single
+    host too. The global array is assembled from per-device shards with
+    ``make_array_from_single_device_arrays`` — a plain ``device_put`` of the
+    full array would assert the same value on every process, which is
+    exactly what a host-local scalar is not (caught by the 2-process CI
+    smoke test, tests/test_distributed.py).
     """
     import jax
     import jax.numpy as jnp
@@ -66,6 +69,8 @@ def all_hosts_mean(value: float) -> float:
     devs = np.asarray(jax.devices())
     mesh = Mesh(devs, ("all",))
     n = devs.size
-    local = jnp.full((n,), value / n, jnp.float32)
-    arr = jax.device_put(local, NamedSharding(mesh, P("all")))
-    return float(jnp.sum(arr))
+    shard = jnp.full((1,), value / n, jnp.float32)
+    arr = jax.make_array_from_single_device_arrays(
+        (n,), NamedSharding(mesh, P("all")),
+        [jax.device_put(shard, d) for d in jax.local_devices()])
+    return float(jax.jit(jnp.sum)(arr))

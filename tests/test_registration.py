@@ -320,3 +320,23 @@ def test_import_atlas_rejects_bad_schema(tmp_path):
     assert main(["import-atlas", "--template", tp, "--atlas", bad14,
                  "--atlas-dir", str(tmp_path / "d")]) == 1
     assert main(["import-atlas"]) == 2
+
+
+def test_configured_register_binds_cfg_knobs():
+    """[tpu] reg_backend/reg_similarity must reach register_masks when the
+    engine registers on demand (engine/data.py::_configured_register)."""
+    from subcort_tpu.config import Options
+    from subcort_tpu.engine.data import _configured_register
+
+    seen = {}
+
+    def fake_register(path, backend=None, similarity=None):
+        seen.update(path=path, backend=backend, similarity=similarity)
+        return 0.0
+
+    opts = Options()
+    opts["reg_backend"] = "jax"
+    opts["reg_similarity"] = "nmi"
+    _configured_register(fake_register, opts)("/some/T1.nii.gz")
+    assert seen == {"path": "/some/T1.nii.gz", "backend": "jax",
+                    "similarity": "nmi"}
