@@ -1,4 +1,5 @@
-from subcort_tpu.ops.normalize import normalize_nonzero  # noqa: F401
+from subcort_tpu.ops.normalize import (normalize_nonzero,  # noqa: F401
+                                       normalize_stats)
 from subcort_tpu.ops.patches import (  # noqa: F401
     PATCH,
     HALF,

@@ -11,12 +11,8 @@ from __future__ import annotations
 import numpy as np
 
 
-def normalize_nonzero(vol: np.ndarray, dtype=np.float32):
-    """(vol - mean(vol[vol!=0])) / std(vol[vol!=0]), stats in float64.
-
-    Returns (normalized volume as ``dtype``, mean, std). Zero voxels are
-    *included* in the output (they become ``-mean/std``), exactly as the
-    reference does — only the statistics are restricted to nonzero voxels.
+def normalize_stats(vol: np.ndarray):
+    """(mean, std) over the NONZERO voxels, float64 (base.py:146 semantics).
 
     Implementation: zero voxels contribute nothing to sum/sum-of-squares, so
     the nonzero statistics come from whole-volume float64 reductions plus a
@@ -34,7 +30,19 @@ def normalize_nonzero(vol: np.ndarray, dtype=np.float32):
     var = s2 / cnt - mean * mean
     if var <= 0.0:
         raise ValueError("nonzero voxels have zero variance; cannot normalize")
-    std = float(np.sqrt(var))
+    return mean, float(np.sqrt(var))
+
+
+def normalize_nonzero(vol: np.ndarray, dtype=np.float32):
+    """(vol - mean(vol[vol!=0])) / std(vol[vol!=0]), stats in float64.
+
+    Returns (normalized volume as ``dtype``, mean, std). Zero voxels are
+    *included* in the output (they become ``-mean/std``), exactly as the
+    reference does — only the statistics are restricted to nonzero voxels
+    (:func:`normalize_stats`).
+    """
+    vol = np.asarray(vol)
+    mean, std = normalize_stats(vol)
     # output arithmetic in the target dtype (<=1 ulp from the reference's
     # float64-then-cast; stats above are exact float64)
     out = (vol.astype(dtype) - dtype(mean)) * dtype(1.0 / std)

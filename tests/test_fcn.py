@@ -72,9 +72,10 @@ def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
                                   for s in image.shape], 1).astype(np.int32),
                         axis=0)
     # confirm this configuration actually selects the sparse path
+    from subcort_tpu.ops import normalize_stats
     _, _, cs, idx = _fcn_slab_inputs(
-        image, atlas, np.zeros(3, np.int32), (40, 44, 40), image.shape,
-        DEFAULT_SPEC, np.float32, centers)
+        image, normalize_stats(image), atlas, np.zeros(3, np.int32),
+        (40, 44, 40), image.shape, DEFAULT_SPEC, np.float32, centers)
     assert idx is not None and len(cs) == len(centers)
 
     lv_f, pv_f = segment_volume(params, image, atlas, centers,
