@@ -164,13 +164,20 @@ std::vector<Pair> block_match(const Image& ref, const Image& flo,
                     [](const Blk& a, const Blk& b) { return a.var > b.var; });
   blocks.resize(want);
 
-  std::vector<Pair> pairs;
-  pairs.reserve(blocks.size());
   const int M = SEARCH;            // margin
   const int L = BS + 2 * M;        // local floating buffer edge
-  std::vector<float> fbuf(L * L * L);
 
-  for (const Blk& b : blocks) {
+  // one result slot per block, filled in parallel (score<0 = no match),
+  // compacted in block order afterwards — deterministic under OpenMP
+  std::vector<Pair> slots(blocks.size());
+  for (auto& p : slots) p.score = -1.0;
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int64_t bi = 0; bi < (int64_t)blocks.size(); ++bi) {
+    const Blk& b = blocks[bi];
+    std::vector<float> fbuf(L * L * L);
     // reference block stats
     float rv[BS * BS * BS];
     double rs = 0, rs2 = 0;
@@ -230,8 +237,12 @@ std::vector<Pair> block_match(const Image& ref, const Image& flo,
     Vec3 flo_w = geom::apply(
         geom::matmul(A, ref.affine),
         {cxv + (bsx - M), cyv + (bsy - M), czv + (bsz - M)});
-    pairs.push_back({ref_w, flo_w, best});
+    slots[bi] = {ref_w, flo_w, best};
   }
+  std::vector<Pair> pairs;
+  pairs.reserve(slots.size());
+  for (const Pair& p : slots)
+    if (p.score >= 0.0) pairs.push_back(p);
   return pairs;
 }
 
@@ -306,6 +317,9 @@ int main(int argc, char** argv) {
       out.shape = {ref0.nx(), ref0.ny(), ref0.nz()};
       out.affine = ref0.affine;
       out.data.assign(ref0.nvox(), 0.0f);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
       for (int64_t z = 0; z < ref0.nz(); ++z)
         for (int64_t y = 0; y < ref0.ny(); ++y)
           for (int64_t x = 0; x < ref0.nx(); ++x) {

@@ -26,6 +26,10 @@
 #include <string>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #include "geometry.hpp"
 #include "nifti.hpp"
 
@@ -147,16 +151,29 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
     wvbuf.resize(ref.nvox());
   }
 
+#ifdef _OPENMP
+  const int n_threads = omp_get_max_threads();
+#else
+  const int n_threads = 1;
+#endif
+
   // Evaluate cost (and, when want_grad, the gradient into g) at grid.disp.
+  // The voxel passes are OpenMP-parallel over z-slices with per-thread
+  // accumulators merged in thread order (deterministic for a fixed
+  // OMP_NUM_THREADS).
   auto evaluate = [&](bool want_grad) -> double {
     if (want_grad) std::fill(g.begin(), g.end(), 0.0);
-    double cost = 0;
     double hist[kBins][kBins];
     if (use_nmi) std::memset(hist, 0, sizeof(hist));
 
-    // Distribute dCost/d(warped value) = f at a voxel into the control grid;
-    // gvox is the exact interpolant gradient at the voxel's flo coordinate.
-    auto distribute = [&](int64_t bx, int64_t by, int64_t bz,
+    std::vector<std::vector<double>> gbufs(n_threads);
+    std::vector<std::vector<double>> hbufs(n_threads);
+    std::vector<double> costs(n_threads, 0.0);
+
+    // Distribute dCost/d(warped value) = f at a voxel into a gradient
+    // buffer; gvox is the exact interpolant gradient at the flo coordinate.
+    auto distribute = [&](std::vector<double>& gt,
+                          int64_t bx, int64_t by, int64_t bz,
                           const double* wx, const double* wy, const double* wz,
                           const double gvox[3], double f) {
       // d(warped)/d(world displacement) = grad_vox(flo) * d(vox)/d(world)
@@ -170,16 +187,40 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
             if (bx + a >= ncx || by + b >= ncy || bz + c >= ncz) continue;
             double w = wx[a] * wy[b] * wz[c] * f;
             int64_t ci = (bx + a) + ncx * ((by + b) + ncy * (bz + c));
-            g[ci] += w * gw[0];
-            g[ci + ncx * ncy * ncz] += w * gw[1];
-            g[ci + 2 * ncx * ncy * ncz] += w * gw[2];
+            gt[ci] += w * gw[0];
+            gt[ci + ncx * ncy * ncz] += w * gw[1];
+            gt[ci + 2 * ncx * ncy * ncz] += w * gw[2];
           }
+    };
+    auto thread_gbuf = [&](int tid) -> std::vector<double>& {
+      if (gbufs[tid].empty()) gbufs[tid].assign(g.size(), 0.0);
+      return gbufs[tid];
+    };
+    auto merge_buffers = [&](bool merge_hist) {
+      for (int t = 0; t < n_threads; ++t) {  // thread order: deterministic
+        if (want_grad && !gbufs[t].empty())
+          for (size_t i = 0; i < g.size(); ++i) g[i] += gbufs[t][i];
+        gbufs[t].clear();
+        if (merge_hist && !hbufs[t].empty())
+          for (int a = 0; a < kBins; ++a)
+            for (int b = 0; b < kBins; ++b)
+              hist[a][b] += hbufs[t][a * kBins + b];
+        hbufs[t].clear();
+      }
     };
 
     // Pass 1: warp every voxel. SSD accumulates its gradient inline; NMI
     // stores the warp state and builds the joint histogram first (its
     // per-voxel gradient needs the full histogram).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t z = 0; z < ref.nz(); ++z) {
+#ifdef _OPENMP
+      const int tid = omp_get_thread_num();
+#else
+      const int tid = 0;
+#endif
       const double* wz = &awz.w[z * 4];
       int64_t bz = awz.base[z];
       for (int64_t y = 0; y < ref.ny(); ++y) {
@@ -216,19 +257,23 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
             int a0 = parzen_bins((ref.at(x, y, z) - rmin) / rrange, wa, nullptr);
             int b0 = parzen_bins(std::clamp((wv - fmin) / frange, 0.0, 1.0),
                                  wb, nullptr);
+            if (hbufs[tid].empty()) hbufs[tid].assign(kBins * kBins, 0.0);
             for (int a = 0; a < 4; ++a)
               for (int b = 0; b < 4; ++b)
-                hist[a0 + a][b0 + b] += wa[a] * wb[b];
+                hbufs[tid][(a0 + a) * kBins + b0 + b] += wa[a] * wb[b];
             continue;
           }
 
           double r = wv - ref.at(x, y, z);
-          cost += r * r;
+          costs[tid] += r * r;
           if (r == 0.0 || !want_grad) continue;
-          distribute(bx, by, bz, wx, wy, wz, gvox, 2.0 * r);
+          distribute(thread_gbuf(tid), bx, by, bz, wx, wy, wz, gvox, 2.0 * r);
         }
       }
     }
+    merge_buffers(use_nmi);
+    double cost = 0;
+    for (int t = 0; t < n_threads; ++t) cost += costs[t];
 
     if (use_nmi) {
       // Entropies of the Parzen joint histogram; NMI = (Hr+Hw)/Hrw in [1,2].
@@ -270,7 +315,15 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
       // Pass 2: per-voxel f = dCost/d(warped) via the Parzen-window
       // derivative, then the same control-grid distribution as SSD.
       const double dtw_dwv = (kBins - 3) / frange;
-      for (int64_t z = 0; want_grad && z < ref.nz(); ++z) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+      for (int64_t z = 0; z < (want_grad ? ref.nz() : 0); ++z) {
+#ifdef _OPENMP
+        const int tid = omp_get_thread_num();
+#else
+        const int tid = 0;
+#endif
         const double* wz = &awz.w[z * 4];
         int64_t bz = awz.base[z];
         for (int64_t y = 0; y < ref.ny(); ++y) {
@@ -296,10 +349,12 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
             double gvox[3];
             sample_with_grad(flo, fvbuf[vi * 3], fvbuf[vi * 3 + 1],
                              fvbuf[vi * 3 + 2], gvox);
-            distribute(awx.base[x], by, bz, &awx.w[x * 4], wy, wz, gvox, f);
+            distribute(thread_gbuf(tid), awx.base[x], by, bz, &awx.w[x * 4],
+                       wy, wz, gvox, f);
           }
         }
       }
+      merge_buffers(false);
     }
 
     // bending-energy surrogate on (d - d_affine): second differences
@@ -518,6 +573,9 @@ int main(int argc, char** argv) {
       out.shape = {ref0.nx(), ref0.ny(), ref0.nz()};
       out.affine = ref0.affine;
       out.data.assign(ref0.nvox(), 0.0f);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
       for (int64_t z = 0; z < ref0.nz(); ++z)
         for (int64_t y = 0; y < ref0.ny(); ++y)
           for (int64_t x = 0; x < ref0.nx(); ++x) {

@@ -68,6 +68,9 @@ int main(int argc, char** argv) {
     out.affine = ref.affine;
     out.data.assign(ref.nvox() * nt, 0.0f);
 
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t z = 0; z < ref.nz(); ++z)
       for (int64_t y = 0; y < ref.ny(); ++y)
         for (int64_t x = 0; x < ref.nx(); ++x) {
