@@ -443,14 +443,10 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
                               ref.affine[1][0] * ref.affine[1][0] +
                               ref.affine[2][0] * ref.affine[2][0]);
 
-    if (use_nmi) {
-      // Adam with a linearly decaying step (mirrors the JAX twin): the
-      // hat-kernel NMI landscape has a descent region far narrower than a
-      // gmax-normalized trust step can track, but per-parameter adaptive
-      // ~lr_mm moves converge on it (proven by the JAX backend, which
-      // optimizes the identical cost with Adam).
+    if (use_nmi && !std::getenv("SUBCORT_F3D_NMI_TRUST")) {
+      // Adam with a linearly decaying step (mirrors the JAX twin's
+      // optimizer for the identical cost).
       const double b1 = 0.9, b2 = 0.999, aeps = 1e-8;
-      // linear decay to lr/10 within the level, like the JAX twin
       const double lr = 0.4 * vox_mm * (1.0 - 0.9 * it / std::max(iters - 1, 1));
       for (size_t i = 0; i < g.size(); ++i) {
         adam_m[i] = b1 * adam_m[i] + (1 - b1) * g[i];
@@ -493,7 +489,7 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
 
 int main(int argc, char** argv) {
   std::string ref_path, flo_path, aff_path, cpp_path, res_path;
-  double sx_mm = 10.0, be = 0.01;
+  double sx_mm = 10.0, be = -1.0;  // default resolved per cost below
   int maxit = 25;
   bool use_nmi = false;
   for (int i = 1; i < argc; ++i) {
@@ -513,6 +509,14 @@ int main(int argc, char** argv) {
     else if (a == "-nmi" || a == "--nmi") use_nmi = true;
     else if (a == "-voff") { }
     else { std::fprintf(stderr, "unknown arg %s\n", a.c_str()); return 1; }
+  }
+  if (be < 0.0) {
+    // NMI needs a stronger bending prior: its cost is blind to intensity
+    // scale, so under-regularized warps can sharpen the histogram while
+    // degrading geometry (measured: be=0.1 is no-harm on already-aligned
+    // mono-modal pairs and improves the intensity-remapped recovery;
+    // be=0.01 matches the long-standing SSD behavior).
+    be = use_nmi ? 0.1 : 0.01;
   }
   if (ref_path.empty() || flo_path.empty() || cpp_path.empty()) {
     std::fprintf(stderr,
