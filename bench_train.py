@@ -67,6 +67,8 @@ def main(argv=None):
                     help="epoch 1 includes compile; the reported number is "
                          "the min of later epochs")
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps-per-call", type=int, default=None,
+                    help="K batches per device dispatch (default: Trainer's)")
     ap.add_argument("--profile", default=None)
     args = ap.parse_args(argv)
 
@@ -80,7 +82,10 @@ def main(argv=None):
         opts = Options(experiment="bench_train", max_epochs=args.epochs,
                        patience=args.epochs + 1, batch_size=args.batch,
                        net_verbose=0, load_weights=False, debug=False)
-        trainer = Trainer(opts, weights_path=tmp)
+        tkw = {}
+        if args.steps_per_call:
+            tkw["steps_per_call"] = args.steps_per_call
+        trainer = Trainer(opts, weights_path=tmp, **tkw)
         t0 = time.time()
         with profile_trace(args.profile):
             history = trainer.fit(index)

@@ -42,37 +42,44 @@ LANE = 256     # superblock lanes: 128-aligned start + 32 window
 
 
 def _gather_kernel(centers_ref, volA_ref, volC_ref, volS_ref,
-                   out_ax, out_co, out_sa, scratch, sems):
+                   out_ax, out_co, out_sa, scratch, sems,
+                   plane_strides=(0, 0, 0)):
+    """centers are stride-4 rows (subject, cx, cy, cz). ``plane_strides``
+    (static) are the per-subject dim-0 extents of the axial/coronal/sagittal
+    layouts, so multi-subject stacks (training) index plane
+    ``c + HALF + subject * stride``; (0, 0, 0) = single-volume (inference)."""
     i = pl.program_id(0)
+    strideA, strideC, strideS = plane_strides
 
     def starts(b, d0, d1):
         """(aligned d1 start, aligned d2 start, window offsets).
         centers are flattened to 1D for SMEM (2D scalar rows pad to a full
         lane each and blow the 1 MB SMEM budget)."""
-        c0 = centers_ref[(i * BLOCK + b) * 3 + d0]
-        c1 = centers_ref[(i * BLOCK + b) * 3 + d1]
+        c0 = centers_ref[(i * BLOCK + b) * 4 + 1 + d0]
+        c1 = centers_ref[(i * BLOCK + b) * 4 + 1 + d1]
         s1 = pl.multiple_of((c0 // 8) * 8, 8)
         s2 = pl.multiple_of((c1 // 128) * 128, 128)
         return s1, s2, c0 - s1, c1 - s2
 
     def issue(b):
-        cx = centers_ref[(i * BLOCK + b) * 3 + 0]
-        cy = centers_ref[(i * BLOCK + b) * 3 + 1]
-        cz = centers_ref[(i * BLOCK + b) * 3 + 2]
+        s = centers_ref[(i * BLOCK + b) * 4 + 0]
+        cx = centers_ref[(i * BLOCK + b) * 4 + 1]
+        cy = centers_ref[(i * BLOCK + b) * 4 + 2]
+        cz = centers_ref[(i * BLOCK + b) * 4 + 3]
         # axial: plane z+HALF in (Z', X', Y'); window (x, y)
         a1, a2, _, _ = starts(b, 0, 1)
         ax = pltpu.make_async_copy(
-            volA_ref.at[cz + HALF, pl.ds(a1, SUB), pl.ds(a2, LANE)],
+            volA_ref.at[cz + HALF + s * strideA, pl.ds(a1, SUB), pl.ds(a2, LANE)],
             scratch.at[b, 0], sems.at[b, 0])
         # coronal: plane y+HALF in (Y', X', Z'); window (x, z)
         c1_, c2_, _, _ = starts(b, 0, 2)
         co = pltpu.make_async_copy(
-            volC_ref.at[cy + HALF, pl.ds(c1_, SUB), pl.ds(c2_, LANE)],
+            volC_ref.at[cy + HALF + s * strideC, pl.ds(c1_, SUB), pl.ds(c2_, LANE)],
             scratch.at[b, 1], sems.at[b, 1])
         # sagittal: plane x+HALF in (X', Y', Z'); window (y, z)
         s1_, s2_, _, _ = starts(b, 1, 2)
         sa = pltpu.make_async_copy(
-            volS_ref.at[cx + HALF, pl.ds(s1_, SUB), pl.ds(s2_, LANE)],
+            volS_ref.at[cx + HALF + s * strideS, pl.ds(s1_, SUB), pl.ds(s2_, LANE)],
             scratch.at[b, 2], sems.at[b, 2])
         return ax, co, sa
 
@@ -124,17 +131,43 @@ def make_view_volumes(padded: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jn
     return vol_sag, vol_ax, vol_co
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+def make_view_volumes_subjects(volumes: jnp.ndarray):
+    """Batched layouts for a stacked (S, X', Y', Z') pre-padded subject array
+    (engine.data.TrainingIndex.volumes): subjects are flattened into each
+    layout's plane axis, so one kernel call serves the whole cohort.
+
+    Returns ((vol_sag, vol_ax, vol_co), plane_strides) where plane_strides
+    are the per-subject dim-0 extents to pass to gather_triplanar_pallas.
+    Each subject is halo-padded, so windows never cross subject boundaries.
+    """
+    S, Xp, Yp, Zp = volumes.shape
+    X, Y, Z = Xp - 2 * HALF, Yp - 2 * HALF, Zp - 2 * HALF
+    vol_sag = _pad_aligned(volumes.reshape(S * Xp, Yp, Zp), Y, Z)
+    vol_ax = _pad_aligned(
+        jnp.transpose(volumes, (0, 3, 1, 2)).reshape(S * Zp, Xp, Yp), X, Y)
+    vol_co = _pad_aligned(
+        jnp.transpose(volumes, (0, 2, 1, 3)).reshape(S * Yp, Xp, Zp), X, Z)
+    return (vol_sag, vol_ax, vol_co), (Zp, Yp, Xp)
+
+
+@partial(jax.jit, static_argnames=("interpret", "plane_strides"))
 def gather_triplanar_pallas(vol_sag: jnp.ndarray, vol_ax: jnp.ndarray,
                             vol_co: jnp.ndarray, centers: jnp.ndarray,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            plane_strides: Tuple[int, int, int] = (0, 0, 0)):
     """Gather (axial, coronal, sagittal) patches with the DMA kernel.
 
-    centers: (N, 3) int32, N a multiple of BLOCK, original volume space.
-    Same semantics as ops.patches.gather_triplanar.
+    centers: (N, 3) int32 in original volume space (single volume), or
+    (N, 4) (subject, x, y, z) with ``plane_strides`` from
+    make_view_volumes_subjects (multi-subject training stack). N must be a
+    multiple of BLOCK. Same semantics as ops.patches.gather_triplanar /
+    engine.train.gather_triplanar_subjects.
     """
     n = centers.shape[0]
     assert n % BLOCK == 0, "pad centers to a BLOCK multiple"
+    if centers.shape[1] == 3:
+        centers = jnp.concatenate(
+            [jnp.zeros((n, 1), centers.dtype), centers], axis=1)
     grid = (n // BLOCK,)
 
     out_shape = jax.ShapeDtypeStruct((n, PATCH, PATCH), vol_sag.dtype)
@@ -157,7 +190,7 @@ def gather_triplanar_pallas(vol_sag: jnp.ndarray, vol_ax: jnp.ndarray,
     )
 
     return pl.pallas_call(
-        _gather_kernel,
+        partial(_gather_kernel, plane_strides=plane_strides),
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,

@@ -179,6 +179,19 @@ def test_segment_volume_bfloat16_agreement(params, phantom, rng):
     assert (lv16[sel] == lv32[sel]).mean() >= 0.999
 
 
+def test_segment_volume_fast_profile_agreement(params, phantom, rng):
+    """The bench's fast profile (bfloat16 activations + uint8 prior
+    transfer combined) must stay >=99.9% label-identical to the exact
+    path (bench.py reports the same agreement on the chip)."""
+    image, atlas, mask = phantom
+    centers = np.stack(np.nonzero(mask), axis=1).astype(np.int32)
+    lv32, _ = segment_volume(params, image, atlas, centers, engine="fcn")
+    lvf, _ = segment_volume(params, image, atlas, centers, engine="fcn",
+                            compute_dtype="bfloat16", prior_dtype=np.uint8)
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    assert (lvf[sel] == lv32[sel]).mean() >= 0.999
+
+
 def test_segment_volume_fcn_bbox_splitting(params, phantom, rng):
     """Oversized bboxes are processed in sub-slabs; results must be
     identical to the unsplit evaluation (covers crop=False whole-volume)."""

@@ -37,3 +37,27 @@ def test_pallas_gather_border_centers(rng):
     np.testing.assert_array_equal(np.asarray(ax), wax)
     np.testing.assert_array_equal(np.asarray(co), wco)
     np.testing.assert_array_equal(np.asarray(sa), wsa)
+
+
+def test_pallas_gather_multi_subject_matches_train_gather(rng):
+    """Subject-axis mode (training): stride-4 centers against the trainer's
+    XLA gather over a stacked pre-padded cohort."""
+    from subcort_tpu.engine.train import gather_triplanar_subjects
+    from subcort_tpu.ops.pallas_gather import make_view_volumes_subjects
+
+    S = 3
+    vols = rng.standard_normal((S, 40 + 32, 36 + 32, 28 + 32)).astype(np.float32)
+    n = 4 * BLOCK
+    centers = np.stack([rng.integers(0, S, n),
+                        rng.integers(0, 40, n),
+                        rng.integers(0, 36, n),
+                        rng.integers(0, 28, n)], 1).astype(np.int32)
+    (vs, va, vc), strides = make_view_volumes_subjects(jnp.asarray(vols))
+    ax, co, sa = gather_triplanar_pallas(vs, va, vc, jnp.asarray(centers),
+                                         interpret=True,
+                                         plane_strides=strides)
+    wax, wco, wsa = gather_triplanar_subjects(jnp.asarray(vols),
+                                              jnp.asarray(centers))
+    np.testing.assert_array_equal(np.asarray(ax), np.asarray(wax))
+    np.testing.assert_array_equal(np.asarray(co), np.asarray(wco))
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(wsa))
