@@ -69,6 +69,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps-per-call", type=int, default=None,
                     help="K batches per device dispatch (default: Trainer's)")
+    ap.add_argument("--dtype", default="float32",
+                    help="training compute dtype: float32 | bfloat16")
     ap.add_argument("--profile", default=None)
     args = ap.parse_args(argv)
 
@@ -81,7 +83,8 @@ def main(argv=None):
     with tempfile.TemporaryDirectory() as tmp:
         opts = Options(experiment="bench_train", max_epochs=args.epochs,
                        patience=args.epochs + 1, batch_size=args.batch,
-                       net_verbose=0, load_weights=False, debug=False)
+                       net_verbose=0, load_weights=False, debug=False,
+                       train_dtype=args.dtype)
         tkw = {}
         if args.steps_per_call:
             tkw["steps_per_call"] = args.steps_per_call

@@ -84,6 +84,7 @@ class Options(Mapping[str, Any]):
     debug_nans: bool = False        # jax_debug_nans: raise on first NaN (debug only)
     reg_backend: str = "native"     # deformable registration: native (C++) | jax (on-device)
     reg_similarity: str = "ssd"     # deformable-stage cost: ssd | nmi (base.py:516-521 is NMI)
+    train_dtype: str = "float32"    # training forward/backward: float32 | bfloat16 (f32 master)
 
     # ------------------------------------------------------------------ dict view
     def __getitem__(self, key: str) -> Any:
@@ -180,6 +181,7 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
         debug_nans=_as_bool(opt("tpu", "debug_nans", False)),
         reg_backend=opt("tpu", "reg_backend", "native").strip(),
         reg_similarity=opt("tpu", "reg_similarity", "ssd").strip(),
+        train_dtype=opt("tpu", "train_dtype", "float32").strip(),
     )
     return o
 

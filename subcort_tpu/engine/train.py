@@ -118,7 +118,8 @@ def _gather_views(volumes, centers, spec, pallas_strides=None):
 
 
 def _step_impl(optimizer, spec, augment, params, opt_state, volumes,
-               centers, labels, atlas, rng, pallas_strides=None):
+               centers, labels, atlas, rng, pallas_strides=None,
+               compute_dtype=None):
     rng_aug, rng_drop = jax.random.split(rng)
 
     # gather outside the differentiated function: patches are data, not
@@ -127,14 +128,25 @@ def _step_impl(optimizer, spec, augment, params, opt_state, volumes,
     if augment:
         ax, co, sa = _augment_views(rng_aug, ax, co, sa)
 
+    # mixed precision ([tpu] train_dtype=bfloat16): master params/optimizer
+    # stay f32; the forward/backward runs in bf16 (2x MXU, same exponent
+    # range as f32 so no loss scaling needed). Gradient of the cast is a
+    # cast back, so value_and_grad returns f32 grads for the f32 master.
+    cd = jnp.dtype(compute_dtype) if compute_dtype else None
+    if cd is not None:
+        ax, co, sa = ax.astype(cd), co.astype(cd), sa.astype(cd)
+        atlas = atlas.astype(cd)
+
     def loss_fn(p):
+        if cd is not None:
+            p = jax.tree_util.tree_map(lambda x: x.astype(cd), p)
         stats = {}
         logits = model_apply(
             p, {"axial": ax, "coronal": co, "sagittal": sa, "atlas": atlas},
             spec=spec, train=True, rng=rng_drop, return_logits=True,
             batch_stats_out=stats)
         loss = optax.softmax_cross_entropy_with_integer_labels(
-            logits, labels).mean()
+            logits.astype(jnp.float32), labels).mean()
         return loss, stats
 
     (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -145,18 +157,21 @@ def _step_impl(optimizer, spec, augment, params, opt_state, volumes,
 
 
 def make_train_step(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
-                    augment: bool = False, pallas_strides=None):
+                    augment: bool = False, pallas_strides=None,
+                    compute_dtype=None):
     @jax.jit
     def train_step(params, opt_state, volumes, centers, labels, atlas, rng):
         return _step_impl(optimizer, spec, augment, params, opt_state,
                           volumes, centers, labels, atlas, rng,
-                          pallas_strides=pallas_strides)
+                          pallas_strides=pallas_strides,
+                          compute_dtype=compute_dtype)
 
     return train_step
 
 
 def make_train_multistep(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
-                         augment: bool = False, pallas_strides=None):
+                         augment: bool = False, pallas_strides=None,
+                         compute_dtype=None):
     """K optimizer steps per dispatch via lax.scan.
 
     Per-step host->device dispatch costs tens of ms on tunneled/remote
@@ -173,7 +188,8 @@ def make_train_multistep(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
             c, l, a, r = inp
             p, o, loss = _step_impl(optimizer, spec, augment, p, o,
                                     volumes, c, l, a, r,
-                                    pallas_strides=pallas_strides)
+                                    pallas_strides=pallas_strides,
+                                    compute_dtype=compute_dtype)
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
@@ -282,9 +298,14 @@ class Trainer:
         ndev = n_devices if n_devices is not None else options["data_parallel"]
         self.mesh = make_mesh(max(1, ndev))
         self.steps_per_call = max(1, steps_per_call)
+        td = str(options["train_dtype"]).strip()
+        self.train_dtype = ("bfloat16" if td in ("bfloat16", "bf16")
+                            else None)
         self._pallas_strides = None  # set by fit() on the TPU fast path
-        self._train_step = make_train_step(self.optimizer, spec, augment)
-        self._train_multi = make_train_multistep(self.optimizer, spec, augment)
+        self._train_step = make_train_step(self.optimizer, spec, augment,
+                                           compute_dtype=self.train_dtype)
+        self._train_multi = make_train_multistep(
+            self.optimizer, spec, augment, compute_dtype=self.train_dtype)
         self._eval_step = make_eval_step(spec)
 
         if options.bool("load_weights"):
@@ -367,20 +388,22 @@ class Trainer:
             if strides != self._pallas_strides:
                 self._train_step = make_train_step(
                     self.optimizer, self.spec, self.augment,
-                    pallas_strides=strides)
+                    pallas_strides=strides, compute_dtype=self.train_dtype)
                 self._train_multi = make_train_multistep(
                     self.optimizer, self.spec, self.augment,
-                    pallas_strides=strides)
+                    pallas_strides=strides, compute_dtype=self.train_dtype)
                 self._eval_step = make_eval_step(self.spec,
                                                  pallas_strides=strides)
                 self._pallas_strides = strides
             volumes = views
         else:
             if self._pallas_strides is not None:
-                self._train_step = make_train_step(self.optimizer, self.spec,
-                                                   self.augment)
+                self._train_step = make_train_step(
+                    self.optimizer, self.spec, self.augment,
+                    compute_dtype=self.train_dtype)
                 self._train_multi = make_train_multistep(
-                    self.optimizer, self.spec, self.augment)
+                    self.optimizer, self.spec, self.augment,
+                    compute_dtype=self.train_dtype)
                 self._eval_step = make_eval_step(self.spec)
                 self._pallas_strides = None
             volumes = jax.device_put(index.volumes, replicated(self.mesh))

@@ -179,10 +179,16 @@ def _conv2d_valid(x, w):
     model is 883k params, so full-f32 MXU passes are cheap; bfloat16 mode is
     the explicit opt-in via Options.compute_dtype.
     """
+    # preferred_element_type=f32 only when x is f32: with bf16 operands the
+    # conv TRANSPOSE rule rejects the f32 cotangent against bf16 kernels
+    # (lax.conv requires matching dtypes), which breaks mixed-precision
+    # training through this path. TPU MXU accumulates in f32 internally for
+    # bf16 convs regardless, so dropping the annotation loses nothing there.
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     return lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,  # f32 accumulation even in bf16 mode
+        preferred_element_type=pet,
         precision=lax.Precision.HIGHEST,
     ).astype(x.dtype)
 

@@ -113,10 +113,13 @@ def test_unknown_key_raises():
 def test_tpu_registration_knobs_parse(tmp_path):
     # [tpu] reg_backend / reg_similarity reach Options (VERDICT r1: extension
     # knobs must be loadable from cfg, not constructor-only)
-    o = _load(tmp_path, CFG + "\n[tpu]\nreg_backend = jax\nreg_similarity = nmi\n")
+    o = _load(tmp_path, CFG + "\n[tpu]\nreg_backend = jax\nreg_similarity = nmi\n"
+                              "train_dtype = bfloat16\n")
     assert o.reg_backend == "jax"
     assert o.reg_similarity == "nmi"
+    assert o.train_dtype == "bfloat16"
     # defaults preserve the round-1 behavior
     o2 = _load(tmp_path)
     assert o2.reg_backend == "native"
     assert o2.reg_similarity == "ssd"
+    assert o2.train_dtype == "float32"

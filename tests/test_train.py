@@ -194,3 +194,39 @@ def test_leave_one_out_split(tmp_path, rng):
     assert idx_loo.subject_names == ["s00"]
     assert len(idx_loo) < len(idx_full)
     assert idx_loo.centers[:, 0].max() == 0  # only subject 0 present
+
+
+def test_trainer_bfloat16_mixed_precision_step(tmp_path):
+    """[tpu] train_dtype=bfloat16: forward/backward in bf16 with f32 master
+    params — one step must run, keep params f32, and produce a finite loss
+    close to the f32 step's."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from subcort_tpu.engine.train import make_train_step
+    from subcort_tpu.models import init_params
+
+    rng = np.random.default_rng(0)
+    volumes = rng.standard_normal((2, 24 + 32, 24 + 32, 24 + 32)).astype(np.float32)
+    b = 16
+    centers = np.stack([rng.integers(0, 2, b)] +
+                       [rng.integers(0, 24, b) for _ in range(3)], 1).astype(np.int32)
+    labels = rng.integers(0, 15, b).astype(np.int32)
+    atlas = rng.random((b, 15)).astype(np.float32)
+
+    params = init_params(jax.random.key(0))
+    opt = optax.adam(1e-3)
+
+    outs = {}
+    for name, cd in (("f32", None), ("bf16", "bfloat16")):
+        step = make_train_step(opt, compute_dtype=cd)
+        p, o, loss = step(params, opt.init(params), jnp.asarray(volumes),
+                          jnp.asarray(centers), jnp.asarray(labels),
+                          jnp.asarray(atlas), jax.random.key(1))
+        outs[name] = (p, float(loss))
+        # master params stay f32 regardless of compute dtype
+        assert jax.tree_util.tree_leaves(p)[0].dtype == jnp.float32
+
+    assert np.isfinite(outs["bf16"][1])
+    assert abs(outs["bf16"][1] - outs["f32"][1]) < 0.1 * max(outs["f32"][1], 1.0)
