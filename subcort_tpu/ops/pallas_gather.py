@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 PATCH = 32
 HALF = 16
-BLOCK = 8      # patches per grid program
+BLOCK = 16     # patches per grid program
 SUB = 40       # superblock sublanes: 8-aligned start + 32 window
 LANE = 256     # superblock lanes: 128-aligned start + 32 window
 
