@@ -84,10 +84,10 @@ def main():
 
     # headline: the reference's default production config
     # (speedup_segmentation=True + post_process=True, configuration.cfg).
-    # min over 5 repeats: the tunnel to the chip adds 2-3x run-to-run
+    # min over 7 repeats: the tunnel to the chip adds 2-3x run-to-run
     # noise; min is the honest device+pipeline number.
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         labels, _ = segment_volume(params, image, atlas, centers)
         _ = post_process_segmentation(None, labels, atlas_mask=roi)
@@ -110,7 +110,7 @@ def main():
 
     # secondary: + 15-class probability maps (out_probabilities=True)
     probs_times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         labels_p, probs = segment_volume(params, image, atlas, centers,
                                          want_probs=True)
