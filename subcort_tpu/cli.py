@@ -74,6 +74,12 @@ def main(argv=None) -> int:
     options = load_options(args.config)
     select_platform(options)  # must precede first backend init
 
+    # multi-host launch (SUBCORT_NUM_PROCESSES>1): join the coordination
+    # service before the backend initializes; single-process is a no-op.
+    # segment_folder then shards the subject list per host (SURVEY §2.5).
+    from subcort_tpu.parallel.distributed import initialize
+    initialize()
+
     from subcort_tpu.utils import enable_compilation_cache, enable_nan_checks
     enable_compilation_cache()
     if options.bool("debug_nans"):

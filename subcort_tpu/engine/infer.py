@@ -537,10 +537,21 @@ class SegmentationEngine:
 
     def segment_folder(self) -> dict:
         """Batch inference over the configured inference folder
-        (train_model.py:68-78 flow). Returns {subject: minutes}."""
+        (train_model.py:68-78 flow). Returns {subject: minutes}.
+
+        Under a multi-process launch (jax.distributed initialized, e.g. via
+        ``SUBCORT_NUM_PROCESSES`` + parallel.distributed.initialize), each
+        host segments its strided slice of the subject list — subject-level
+        DCN data parallelism (SURVEY.md §2.5); single-process runs are
+        unchanged."""
         t1_names, subjects = load_test_names(self.options)
+        if jax.process_count() > 1:
+            from subcort_tpu.parallel.distributed import host_shard
+            pairs = host_shard(list(zip(t1_names, subjects)))
+        else:
+            pairs = list(zip(t1_names, subjects))
         times = {}
-        for path, sub in zip(t1_names, subjects):
+        for path, sub in pairs:
             if self.options.bool("debug"):
                 print("--> testing scan", sub)
             times[sub] = self.segment_scan(path)

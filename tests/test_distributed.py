@@ -87,3 +87,40 @@ def test_initialize_single_process_is_noop():
     # num_processes <= 1 (default env) must not touch jax.distributed
     from subcort_tpu.parallel.distributed import initialize
     initialize()  # would raise on a second real initialize in-process
+
+
+def test_segment_folder_shards_subjects_per_host(tmp_path, monkeypatch):
+    """Under a multi-process launch, each host segments its strided slice of
+    the subject list (subject-level DCN parallelism, SURVEY §2.5)."""
+    import jax
+    import numpy as np
+
+    from subcort_tpu.config import Options
+    from subcort_tpu.engine.infer import SegmentationEngine
+    from subcort_tpu.io import NiftiImage, save_nii
+
+    for i in range(5):
+        d = tmp_path / f"s{i:02d}"
+        d.mkdir()
+        save_nii(NiftiImage(np.ones((4, 4, 4), np.float32)),
+                 str(d / "T1.nii.gz"))
+
+    opts = Options()
+    opts["test_folder"] = str(tmp_path)
+    opts["debug"] = False
+    eng = SegmentationEngine(params={}, options=opts)
+
+    seen = []
+    monkeypatch.setattr(eng, "segment_scan", lambda p: seen.append(p) or 0.0)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    times = eng.segment_folder()
+    # host 1 of 2 gets the odd-index subjects (strided, deterministic)
+    assert sorted(times) == ["s01", "s03"]
+    assert all("T1.nii.gz" in p for p in seen) and len(seen) == 2
+
+    # single-process launches are unchanged
+    seen.clear()
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    times = eng.segment_folder()
+    assert sorted(times) == [f"s{i:02d}" for i in range(5)]
