@@ -340,3 +340,14 @@ def test_configured_register_binds_cfg_knobs():
     _configured_register(fake_register, opts)("/some/T1.nii.gz")
     assert seen == {"path": "/some/T1.nii.gz", "backend": "jax",
                     "similarity": "nmi"}
+
+
+def test_import_atlas_accepts_trailing_singleton_template(tmp_path):
+    """Some tools write 3D volumes as (X, Y, Z, 1); the validator squeezes
+    the trailing singleton instead of rejecting the template."""
+    from subcort_tpu.registration.atlas import validate_atlas_assets
+
+    src = tmp_path / "src"
+    tmpl, _ = make_synthetic_atlas(str(src), shape=(24, 26, 22))
+    t4 = _save(tmp_path, "t4.nii.gz", tmpl[..., None])
+    validate_atlas_assets(t4, str(src / "atlas_subcortical_MNI.nii.gz"))
