@@ -10,7 +10,7 @@
 // initialization is baked into the control values, so downstream resampling
 // needs only the grid). Cost = D(ref, flo∘T) + be * ||Δ(d - d_affine)||²
 // where D is SSD by default or, with -nmi, 2 - NMI from a Parzen-window
-// (linear hat kernel) joint histogram — the reference's NiftyReg reg_f3d is
+// (cubic B-spline kernel) joint histogram — the reference's NiftyReg reg_f3d is
 // NMI-driven, which survives nonlinear intensity remaps between template
 // and subject where SSD does not. The bending term is a second-difference
 // surrogate that leaves the affine part free. Optimized by gradient descent

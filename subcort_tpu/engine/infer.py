@@ -407,8 +407,9 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     centers_p = np.concatenate([centers, np.zeros((pad, 3), np.int32)], axis=0)
     vecs_p = np.concatenate([vecs, np.zeros((pad, 15), np.float32)], axis=0)
 
+    from subcort_tpu.ops.pallas_gather import BLOCK as _PBLOCK
     use_pallas = (jax.devices()[0].platform == "tpu" and
-                  spec.patch_size == 32 and chunk % 8 == 0)
+                  spec.patch_size == 32 and chunk % _PBLOCK == 0)
     labels, probs = _forward_centers(
         params, padded, jnp.asarray(centers_p), jnp.asarray(vecs_p),
         chunk, want_probs, spec, use_pallas=use_pallas,

@@ -459,9 +459,9 @@ class Trainer:
             for i in range(0, len(valid_idx), eval_bs):
                 sl = valid_idx[i:i + eval_bs]
                 m = len(sl)
-                # pad tails to an 8-multiple (Pallas BLOCK; also caps the
+                # pad tails to a Pallas-BLOCK multiple (also caps the
                 # distinct tail shapes jit sees) — masked out via count
-                pad = -m % 8
+                pad = -m % _PBLOCK
                 if pad:
                     sl = np.concatenate([sl, np.full(pad, sl[-1])])
                 ls, cs = self._eval_step(self.params, volumes,

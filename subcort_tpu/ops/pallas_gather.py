@@ -178,9 +178,9 @@ def gather_triplanar_pallas(vol_sag: jnp.ndarray, vol_ax: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(block, block, block),
         scratch_shapes=[

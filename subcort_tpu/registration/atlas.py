@@ -49,7 +49,11 @@ def validate_atlas_assets(template_path: str, atlas_path: str):
     tdata = np.asarray(tmpl.data)
     adata = np.asarray(atlas.data)
     if tdata.ndim == 4 and tdata.shape[3] == 1:
+        # (X, Y, Z, 1) writers: squeeze, and propagate the squeezed volume
+        # so install_atlas persists a true-3D template (downstream consumers
+        # — e.g. the jax FFD's pyramid reshape — assume exactly 3 dims)
         tdata = tdata[..., 0]
+        tmpl = NiftiImage(tdata, tmpl.affine, tmpl.header)
     if tdata.ndim != 3:
         raise AtlasValidationError(
             f"{template_path}: template must be a 3D volume, got shape {tdata.shape}")

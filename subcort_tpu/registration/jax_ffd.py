@@ -12,7 +12,7 @@ default — exact twin of the C++ tool's default) or negated normalized
 mutual information (``cost="nmi"``). The reference's reg_f3d is NiftyReg's
 NMI-driven FFD (cnn_cort/base.py:516-521); NMI is insensitive to
 monotone/nonlinear intensity remaps between template and subject where SSD
-is not. NMI here is a Parzen-window (linear hat kernel) soft joint
+is not. NMI here is a Parzen-window (cubic B-spline kernel) soft joint
 histogram, accumulated as chunked (C,B)ᵀ@(C,B) matmuls so the histogram
 build rides the MXU and memory stays bounded for full-size scans.
 

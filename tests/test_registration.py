@@ -344,10 +344,20 @@ def test_configured_register_binds_cfg_knobs():
 
 def test_import_atlas_accepts_trailing_singleton_template(tmp_path):
     """Some tools write 3D volumes as (X, Y, Z, 1); the validator squeezes
-    the trailing singleton instead of rejecting the template."""
-    from subcort_tpu.registration.atlas import validate_atlas_assets
+    the trailing singleton instead of rejecting the template — and
+    install_atlas must persist the squeezed 3D volume (downstream 3D
+    consumers like the jax FFD pyramid assume exactly 3 dims)."""
+    from subcort_tpu.registration.atlas import (install_atlas,
+                                                validate_atlas_assets)
 
     src = tmp_path / "src"
     tmpl, _ = make_synthetic_atlas(str(src), shape=(24, 26, 22))
     t4 = _save(tmp_path, "t4.nii.gz", tmpl[..., None])
-    validate_atlas_assets(t4, str(src / "atlas_subcortical_MNI.nii.gz"))
+    atlas_p = str(src / "atlas_subcortical_MNI.nii.gz")
+    got, _ = validate_atlas_assets(t4, atlas_p)
+    assert np.asarray(got.data).ndim == 3
+
+    dest = install_atlas(t4, atlas_p, dest_dir=str(tmp_path / "installed"))
+    installed = np.asarray(load_nii(os.path.join(dest, "T1_template.nii.gz")).data)
+    assert installed.shape == (24, 26, 22)
+    np.testing.assert_allclose(installed, tmpl, rtol=1e-6)
