@@ -92,7 +92,9 @@ def _forward_centers(params, padded_vol, centers, atlas_vecs,
                                      "sagittal": sa, "atlas": at}, spec=spec)
         labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)
         if want_probs:
-            pr = (jnp.round(probs * 255.0).astype(jnp.uint8)
+            # uint8 quantization deferred to after the scan (in-scan uint8
+            # block stacking is pathologically slow on TPU)
+            pr = (probs.astype(jnp.float32)
                   if jnp.dtype(probs_dtype) == jnp.uint8
                   else probs.astype(probs_dtype))
         else:
@@ -101,7 +103,10 @@ def _forward_centers(params, padded_vol, centers, atlas_vecs,
 
     _, (labels, probs) = jax.lax.scan(body, None, (cs, av))
     labels = labels.reshape(-1)
-    probs = probs.reshape(-1, probs.shape[-1]) if want_probs else probs
+    if want_probs:
+        probs = probs.reshape(-1, probs.shape[-1])
+        if jnp.dtype(probs_dtype) == jnp.uint8:
+            probs = jnp.round(probs * 255.0).astype(jnp.uint8)
     return labels, probs
 
 
@@ -271,9 +276,14 @@ def _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
                     probs_dtype, dev_dtype, devices=None):
     """Run the dense evaluator over sub-bboxes, optionally fanned out over
     multiple devices (each sub-slab is independent; params are replicated
-    per device once, slabs round-robin, results collected after all
-    dispatches are in flight — device-level pipeline parallelism over the
-    candidate region, SURVEY.md §2.5 voxel-axis sharding)."""
+    per device once, slabs round-robin — device-level pipeline parallelism
+    over the candidate region, SURVEY.md §2.5 voxel-axis sharding).
+
+    Results scatter free-as-they-go: at most ``2 * n_devices`` slabs' device
+    outputs stay in flight (enough to keep every device busy while the host
+    scatters the oldest), so peak HBM for crop=False whole-volume probs runs
+    is bounded by a constant number of slabs instead of all of them."""
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     from subcort_tpu.models.fcn import fcn_forward_slab
@@ -289,7 +299,16 @@ def _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
                          shape, spec, prior_dtype, centers)
              for lo, dims in bboxes]
     params_per_dev = {}
-    pending = []
+    pending = deque()
+    max_inflight = 2 * len(devices)
+
+    def drain_one():
+        labels_b, probs_b, lo, dims, cs = pending.popleft()
+        # np.asarray blocks on this slab only; devices keep executing the
+        # already-dispatched younger slabs meanwhile
+        _fcn_scatter_results(labels_b, probs_b, lo, dims, centers, cs,
+                             label_vol, prob_vol, want_probs)
+
     for i, (lo, dims) in enumerate(bboxes):
         dev = devices[i % len(devices)]
         if dev not in params_per_dev:
@@ -309,10 +328,11 @@ def _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
             params_per_dev[dev], slab_d, vecs_d, want_probs, spec,
             probs_dtype=jnp.dtype(probs_dtype).name, gather_idx=idx_d)
         pending.append((labels_b, probs_b, lo, dims, cs))
+        while len(pending) > max_inflight:
+            drain_one()
     pool.shutdown(wait=False)
-    for labels_b, probs_b, lo, dims, cs in pending:
-        _fcn_scatter_results(labels_b, probs_b, lo, dims, centers, cs,
-                             label_vol, prob_vol, want_probs)
+    while pending:
+        drain_one()
 
 
 def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
@@ -487,7 +507,9 @@ def test_scan(params, scan_path: str, options: Options,
         devices=_data_parallel_devices(options))
 
     if want_probs:
-        save_nii(NiftiImage(prob_vol.astype(np.float32), t1.affine),
+        # asarray, not astype: prob_vol is already float32 — avoid a no-op
+        # ~430 MB copy before the (streamed, level-1 gzip) write
+        save_nii(NiftiImage(np.asarray(prob_vol, np.float32), t1.affine),
                  os.path.join(image_dir, "out_subcortical_prob.nii.gz"))
     if options.bool("post_process"):
         filtered = post_process_segmentation(

@@ -178,9 +178,10 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
         lab = jnp.argmax(logits, axis=1).astype(jnp.uint8)
         if want_probs:
             pr = jax.nn.softmax(logits, axis=-1)
-            # uint8 readback quantizes to 1/255 steps — half the bytes of
-            # f16 over the slow host link; the host dequantizes
-            pr = (jnp.round(pr * 255.0).astype(jnp.uint8)
+            # uint8 quantization happens AFTER the scan in one vectorized
+            # op: emitting uint8 (chunk, 15) blocks from the scan body is
+            # pathologically slow on TPU (measured 2.1 s vs 0.11 s readback)
+            pr = (pr.astype(jnp.float32)
                   if jnp.dtype(probs_dtype) == jnp.uint8
                   else pr.astype(probs_dtype))
         else:
@@ -191,7 +192,12 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     labels = labels.reshape(-1)[:m]
     if gather_idx is None:
         labels = labels.reshape(bx, by, bz)
-    probs = probs.reshape(-1, probs.shape[-1])[:m] if want_probs else probs
+    if want_probs:
+        probs = probs.reshape(-1, probs.shape[-1])[:m]
+        if jnp.dtype(probs_dtype) == jnp.uint8:
+            # 1/255-step readback — half the bytes of f16 over the slow
+            # host link; the host dequantizes
+            probs = jnp.round(probs * 255.0).astype(jnp.uint8)
     return labels, probs
 
 

@@ -44,7 +44,9 @@ def _local_forward(params, padded_vol, centers, vecs, chunk: int,
                                      "sagittal": sa, "atlas": at}, spec=spec)
         labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)
         if want_probs:
-            pr = (jnp.round(probs * 255.0).astype(jnp.uint8)
+            # uint8 quantization deferred to after the scan (in-scan uint8
+            # block stacking is pathologically slow on TPU)
+            pr = (probs.astype(jnp.float32)
                   if jnp.dtype(probs_dtype) == jnp.uint8
                   else probs.astype(probs_dtype))
         else:
@@ -53,7 +55,10 @@ def _local_forward(params, padded_vol, centers, vecs, chunk: int,
 
     _, (labels, probs) = jax.lax.scan(body, None, (cs, av))
     labels = labels.reshape(-1)
-    probs = probs.reshape(-1, probs.shape[-1]) if want_probs else probs
+    if want_probs:
+        probs = probs.reshape(-1, probs.shape[-1])
+        if jnp.dtype(probs_dtype) == jnp.uint8:
+            probs = jnp.round(probs * 255.0).astype(jnp.uint8)
     return labels, probs
 
 
