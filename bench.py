@@ -40,12 +40,14 @@ TARGET_SECONDS = 5.0  # north-star: <5 s/scan on one v5e chip (BASELINE.md)
 def make_scan(rng):
     """MNI-dimension synthetic T1 + prior atlas + subcortical ROI."""
     shape = (181, 217, 181)
-    image = np.zeros(shape, np.float32)
+    # int16 voxels: the dtype real T1 NIfTIs ship with — exercises the
+    # raw-slab wire path (device-side normalization, half the h2d bytes)
+    image = np.zeros(shape, np.int16)
     # brain-ish ellipsoid of nonzero intensities
     x, y, z = np.ogrid[:shape[0], :shape[1], :shape[2]]
     brain = (((x - 90) / 80.0) ** 2 + ((y - 108) / 95.0) ** 2
              + ((z - 90) / 78.0) ** 2) < 1.0
-    image[brain] = (rng.random(int(brain.sum())) * 800 + 100).astype(np.float32)
+    image[brain] = (rng.random(int(brain.sum())) * 800 + 100).astype(np.int16)
 
     atlas = np.zeros(shape + (15,), np.float32)
     atlas[..., 14] = 1.0
@@ -82,41 +84,53 @@ def main():
     labels, _ = segment_volume(params, image, atlas, centers)
     _ = segment_volume(params, image, atlas, centers, want_probs=True)
 
+    # repeat-timing policy: the tunnel to the chip adds 2-4x run-to-run
+    # noise (and a freshly re-granted chip can be far worse for minutes),
+    # so each configuration runs REPEATS times interleaved with nothing
+    # else; `value` is the min (the honest device+pipeline number) and the
+    # median/n are reported alongside so artifact readers can judge noise.
+    REPEATS = int(os.environ.get("SUBCORT_BENCH_REPEATS", "9"))
+
+    def timed(fn, n=REPEATS):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[0], ts[len(ts) // 2]
+
     # headline: the reference's default production config
     # (speedup_segmentation=True + post_process=True, configuration.cfg).
-    # min over 7 repeats: the tunnel to the chip adds 2-3x run-to-run
-    # noise; min is the honest device+pipeline number.
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
+    def run_exact():
+        nonlocal labels
         labels, _ = segment_volume(params, image, atlas, centers)
-        _ = post_process_segmentation(None, labels, atlas_mask=roi)
-        times.append(time.perf_counter() - t0)
-    per_scan = min(times)
+        post_process_segmentation(None, labels, atlas_mask=roi)
+
+    labels = None
+    per_scan, per_scan_med = timed(run_exact)
 
     # secondary: TPU-idiomatic fast profile — bfloat16 activations (2x MXU)
     # + uint8 prior transfer (half the tunnel bytes). Lossy by design;
     # label agreement vs the exact path is reported alongside.
     fast_kw = dict(compute_dtype="bfloat16", prior_dtype=np.uint8)
     labels_fast, _ = segment_volume(params, image, atlas, centers, **fast_kw)
-    fast_times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+
+    def run_fast():
+        nonlocal labels_fast
         labels_fast, _ = segment_volume(params, image, atlas, centers,
                                         **fast_kw)
-        _ = post_process_segmentation(None, labels_fast, atlas_mask=roi)
-        fast_times.append(time.perf_counter() - t0)
-    fast_per_scan = min(fast_times)
+        post_process_segmentation(None, labels_fast, atlas_mask=roi)
+
+    fast_per_scan, fast_med = timed(run_fast, max(REPEATS - 2, 3))
 
     # secondary: + 15-class probability maps (out_probabilities=True)
-    probs_times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        labels_p, probs = segment_volume(params, image, atlas, centers,
-                                         want_probs=True)
-        _ = post_process_segmentation(None, labels_p, atlas_mask=roi)
-        probs_times.append(time.perf_counter() - t0)
-    with_probs = min(probs_times)
+    def run_probs():
+        labels_p, _ = segment_volume(params, image, atlas, centers,
+                                     want_probs=True)
+        post_process_segmentation(None, labels_p, atlas_mask=roi)
+
+    with_probs, with_probs_med = timed(run_probs)
 
     # quality canary: the two independent engines (dense à-trous vs Pallas
     # patch gather) must agree at scale — catches silent numerical drift
@@ -163,9 +177,13 @@ def main():
                              if oracle_agreement is not None else None),
         "unit": "seconds",
         "vs_baseline": round(TARGET_SECONDS / per_scan, 3),
+        "median_seconds": round(per_scan_med, 4),
+        "n_repeats": REPEATS,
         "voxels_per_sec_per_chip": int(n_vox / per_scan),
         "with_prob_maps_seconds": round(with_probs, 4),
+        "with_prob_maps_median": round(with_probs_med, 4),
         "bf16_fast_seconds": round(fast_per_scan, 4),
+        "bf16_fast_median": round(fast_med, 4),
         "bf16_fast_agreement": round(
             float((labels[sel] == labels_fast[sel]).mean()), 6),
         "candidate_voxels": int(n_vox),

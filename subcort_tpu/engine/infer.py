@@ -186,13 +186,20 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
     (the full-volume normalize costs ~0.1 s/scan of pure host time and the
     device never sees voxels outside the slabs).
 
-    Returns (slab f32, prior vecs in prior_dtype, cs, gather_idx):
+    Returns (slab, prior vecs in prior_dtype, cs, gather_idx, norm):
     dense mode (``centers=None``): vecs covers every bbox voxel in C-order,
     cs/gather_idx are None. Sparse mode: cs = the candidate centers inside
     this bbox, gather_idx = their (pow2-padded) linear bbox indices, vecs
     only their priors — the device gathers branch features at gather_idx so
     the head runs ~5x fewer voxels and the prior/prob transfers shrink by
     the same factor.
+
+    For narrow-integer scans (the usual int16 T1 NIfTI) the slab ships RAW
+    and ``norm`` = (scale(2,), lo(3,), hi(3,)) tells the device to apply
+    the identical (x - mean) * inv_std float32 arithmetic there, zeroing
+    outside-volume voxels — bit-exact with the host path at half the bytes
+    over the slow host->device link (the dominant per-scan cost). For float
+    scans the slab is normalized on host and ``norm`` is None.
     """
     from subcort_tpu.models.fcn import RF
 
@@ -202,13 +209,22 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
     # cut the bbox+halo slab on the host (ships ~10x less than the whole
     # volume): slab axis i covers [lo-half, lo+dim+half-1]. Outside-volume
     # padding stays 0.0 in normalized space (== pad_volume's convention).
-    slab = np.zeros((bx + RF, by + RF, bz + RF), np.float32)
+    raw_wire = image.dtype.kind in "iu" and image.dtype.itemsize <= 2
+    slab = np.zeros((bx + RF, by + RF, bz + RF),
+                    image.dtype if raw_wire else np.float32)
     src = [slice(max(int(l) - half, 0), min(int(l) + d + half - 1, s))
            for l, d, s in zip(lo, dims, shape)]
     dst = [slice(s.start - (int(l) - half), s.stop - (int(l) - half))
            for s, l in zip(src, lo)]
-    slab[tuple(dst)] = ((image[tuple(src)].astype(np.float32)
-                         - np.float32(mean)) * np.float32(1.0 / std))
+    if raw_wire:
+        slab[tuple(dst)] = image[tuple(src)]
+        norm = (np.array([mean, 1.0 / std], np.float32),
+                np.array([s.start for s in dst], np.int32),
+                np.array([s.stop for s in dst], np.int32))
+    else:
+        slab[tuple(dst)] = ((image[tuple(src)].astype(np.float32)
+                             - np.float32(mean)) * np.float32(1.0 / std))
+        norm = None
 
     if centers is not None:
         inside = np.all((centers >= lo) & (centers < lo + np.asarray(dims)),
@@ -216,7 +232,7 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
         cs = centers[inside]
         m = len(cs)
         if m == 0:
-            return None, None, cs, None  # nothing to classify in this slab
+            return None, None, cs, None, None  # nothing to classify here
         m_pad = _round_up_pow2(m)
         if m_pad < bx * by * bz:
             rel = cs - np.asarray(lo)[None, :]
@@ -225,7 +241,7 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
             vecs = _atlas_vectors_host(atlas, cs)
             lin = np.pad(lin, (0, m_pad - m))
             vecs = np.pad(vecs, ((0, m_pad - m), (0, 0)))
-            return slab, _quantize_priors(vecs, prior_dtype), cs, lin
+            return slab, _quantize_priors(vecs, prior_dtype), cs, lin, norm
         # candidates ~fill the bbox: dense head is cheaper than a padded
         # gather — fall through
 
@@ -238,7 +254,7 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
     empty = vecs.sum(axis=1) == 0
     vecs[empty] = 0.0
     vecs[empty, 14] = 1.0
-    return slab, _quantize_priors(vecs, prior_dtype), None, None
+    return slab, _quantize_priors(vecs, prior_dtype), None, None, norm
 
 
 def _dequantize_probs(probs_b) -> np.ndarray:
@@ -314,19 +330,31 @@ def _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
         if dev not in params_per_dev:
             params_per_dev[dev] = (params if dev is None
                                    else jax.device_put(params, dev))
-        slab, vecs, cs, gather_idx = preps[i].result()
+        slab, vecs, cs, gather_idx, norm = preps[i].result()
         if slab is None:
             continue  # no candidates in this sub-bbox
-        slab_d = jnp.asarray(slab, dev_dtype)
+        if norm is None:
+            slab_d = jnp.asarray(slab, dev_dtype)
+            norm_d = None
+        else:
+            # raw narrow-integer bytes over the wire; normalization happens
+            # on device (scale cast to the compute dtype)
+            slab_d = jnp.asarray(slab)
+            scal, nlo, nhi = norm
+            norm_d = (jnp.asarray(scal, dev_dtype), jnp.asarray(nlo),
+                      jnp.asarray(nhi))
         vecs_d = jnp.asarray(vecs)
         idx_d = None if gather_idx is None else jnp.asarray(gather_idx)
         if dev is not None:
             slab_d = jax.device_put(slab_d, dev)
             vecs_d = jax.device_put(vecs_d, dev)
             idx_d = None if idx_d is None else jax.device_put(idx_d, dev)
+            norm_d = (None if norm_d is None
+                      else tuple(jax.device_put(n, dev) for n in norm_d))
         labels_b, probs_b = fcn_forward_slab(
             params_per_dev[dev], slab_d, vecs_d, want_probs, spec,
-            probs_dtype=jnp.dtype(probs_dtype).name, gather_idx=idx_d)
+            probs_dtype=jnp.dtype(probs_dtype).name, gather_idx=idx_d,
+            norm=norm_d)
         pending.append((labels_b, probs_b, lo, dims, cs))
         while len(pending) > max_inflight:
             drain_one()

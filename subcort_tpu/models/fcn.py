@@ -103,7 +103,7 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
                      spec: TriPlanarSpec = DEFAULT_SPEC,
                      head_chunk: int = 65536,
                      probs_dtype=jnp.float32,
-                     gather_idx=None):
+                     gather_idx=None, norm=None):
     """Dense tri-planar forward over a pre-cut slab.
 
     Args:
@@ -111,7 +111,12 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
         plus its 16/15-voxel patch context (zero where outside the volume —
         exactly the patch path's padding semantics). Shipping only the slab
         instead of the whole padded volume cuts the host->device transfer
-        ~10x for typical subcortical ROIs.
+        ~10x for typical subcortical ROIs. With ``norm`` =
+        (scale (2,), lo (3,), hi (3,)) the slab arrives RAW (narrow-integer
+        NIfTI voxels, half the wire bytes) and is normalized here with the
+        identical (x - mean) * inv_std float32 arithmetic, zeroing voxels
+        outside [lo, hi) (outside the source volume) — bit-exact with the
+        host-normalized path.
       atlas_vecs: (M, C) prior vectors, background-fixed on host; any float
         dtype (float16 halves the transfer; cast up here). M = bx*by*bz in
         C-order (x-major) when ``gather_idx`` is None, else
@@ -129,6 +134,16 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     feature[x, y, z] == branch(patch centered at bbox voxel (x, y, z)).
     The head MLP runs as a lax.scan over voxel chunks to bound HBM temps.
     """
+    if norm is not None:
+        scal, lo, hi = norm
+        x = (slab.astype(scal.dtype) - scal[0]) * scal[1]
+        mask = None
+        for ax in range(3):
+            ii = lax.broadcasted_iota(jnp.int32, slab.shape, ax)
+            m = (ii >= lo[ax]) & (ii < hi[ax])
+            mask = m if mask is None else mask & m
+        slab = jnp.where(mask, x, jnp.zeros((), x.dtype))
+
     bx = slab.shape[0] - RF
     by = slab.shape[1] - RF
     bz = slab.shape[2] - RF

@@ -58,6 +58,39 @@ def test_fcn_bbox_matches_patch_path(params, rng):
     assert agreement == 1.0
 
 
+def test_fcn_raw_int16_slab_matches_host_normalized(params, rng):
+    """Narrow-integer scans ship the slab RAW with device-side
+    normalization (half the wire bytes); results must be identical to the
+    host-normalized float path on the same voxel values."""
+    from subcort_tpu.engine import segment_volume
+    from subcort_tpu.engine.infer import _fcn_slab_inputs
+    from subcort_tpu.models.triplanar import DEFAULT_SPEC
+    from subcort_tpu.ops import normalize_stats
+
+    image16 = np.zeros((40, 44, 40), np.int16)
+    image16[4:-4, 4:-4, 4:-4] = (rng.random((32, 36, 32)) * 800 + 100).astype(np.int16)
+    image32 = image16.astype(np.float32)
+    atlas = rng.random((40, 44, 40, 15)).astype(np.float32)
+    centers = np.unique(np.stack([rng.integers(2, s - 2, 400)
+                                  for s in image16.shape], 1).astype(np.int32),
+                        axis=0)
+
+    # the int16 input actually takes the raw-wire path
+    slab, _, _, _, norm = _fcn_slab_inputs(
+        image16, normalize_stats(image16), atlas, np.zeros(3, np.int32),
+        (40, 44, 40), image16.shape, DEFAULT_SPEC, np.float32, centers)
+    assert norm is not None and slab.dtype == np.int16
+
+    lv16, pv16 = segment_volume(params, image16, atlas, centers,
+                                want_probs=True, engine="fcn",
+                                probs_dtype=np.float32)
+    lv32, pv32 = segment_volume(params, image32, atlas, centers,
+                                want_probs=True, engine="fcn",
+                                probs_dtype=np.float32)
+    np.testing.assert_array_equal(lv16, lv32)
+    np.testing.assert_allclose(pv16, pv32, atol=1e-6)
+
+
 def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
     """Sparse candidates in a big bbox take the gathered-head path (the head
     MLP runs only at candidate voxels); labels and probs must match the
@@ -73,7 +106,7 @@ def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
                         axis=0)
     # confirm this configuration actually selects the sparse path
     from subcort_tpu.ops import normalize_stats
-    _, _, cs, idx = _fcn_slab_inputs(
+    _, _, cs, idx, _ = _fcn_slab_inputs(
         image, normalize_stats(image), atlas, np.zeros(3, np.int32),
         (40, 44, 40), image.shape, DEFAULT_SPEC, np.float32, centers)
     assert idx is not None and len(cs) == len(centers)
