@@ -111,6 +111,67 @@ def install_atlas(template_path: str, atlas_path: str,
     return dest
 
 
+def make_synthetic_cohort(root: str, n_subjects: int = 4,
+                          shape=(64, 72, 60), seed: int = 0,
+                          atlas_dir: str | None = None,
+                          noise: float = 8.0, intensity_jitter: float = 0.15,
+                          max_shift: int = 3, prior_error: int = 1,
+                          write_priors: bool = True):
+    """Write a phantom training/inference cohort under ``root``.
+
+    Each subject is the synthetic template under a random integer shift,
+    global intensity scale and additive Gaussian noise; its 15-class GT
+    (classes 1..14 = structures, 15 = 2-voxel boundary-background ring —
+    the reference's restricted-sampling convention, base.py:124,162) is
+    derived from the identically shifted atlas. When ``write_priors``, the
+    per-subject ``tmp/`` prior volume + subcortical mask are also written —
+    shifted by an *additional* ±``prior_error`` voxel registration-error
+    jitter, so a model cannot solve the task by copying the prior channel —
+    letting training/inference run without the registration subsystem
+    (which has its own quality gate, bench_reg.py).
+
+    Returns the list of subject directories.
+    """
+    from scipy import ndimage
+
+    rng = np.random.default_rng(seed)
+    # default atlas assets live BESIDE the cohort, not inside it: every
+    # subdirectory of a train/inference folder is treated as a subject
+    # (list_training_subjects / load_test_names contract)
+    atlas_dir = atlas_dir or (os.path.normpath(root) + "_atlases")
+    template, atlas = make_synthetic_atlas(atlas_dir, shape=shape, seed=seed)
+    subs = []
+    for i in range(n_subjects):
+        sub = os.path.join(root, f"s{i:02d}")
+        os.makedirs(os.path.join(sub, "tmp"), exist_ok=True)
+        off = tuple(int(v) for v in rng.integers(-max_shift, max_shift + 1, 3))
+        t1 = np.roll(template, off, axis=(0, 1, 2))
+        at = np.roll(atlas, off, axis=(0, 1, 2))
+        gt = np.zeros(shape, np.uint8)
+        for s in range(14):
+            gt[at[..., s] > 0.5] = s + 1
+        ring = ndimage.binary_dilation(gt > 0, iterations=2) & (gt == 0)
+        gt[ring] = 15
+        scale = 1.0 + float(rng.uniform(-intensity_jitter, intensity_jitter))
+        t1 = t1 * scale + rng.normal(0, noise, shape) * (t1 > 0)
+        t1 = np.clip(t1, 0, None).astype(np.float32)
+        save_nii(NiftiImage(t1), os.path.join(sub, "T1.nii.gz"))
+        save_nii(NiftiImage(gt), os.path.join(sub, "gt_15_classes.nii.gz"))
+        if write_priors:
+            perr = tuple(int(v) for v in
+                         rng.integers(-prior_error, prior_error + 1, 3))
+            pri = np.roll(at, perr, axis=(0, 1, 2)).astype(np.float32)
+            save_nii(NiftiImage(pri),
+                     os.path.join(sub, "tmp", "MNI_sub_probabilities.nii.gz"))
+            # reference mask convention (base.py:544-549): dilate(sum 0:13)
+            mask = ndimage.binary_dilation(
+                pri[..., :13].sum(-1) > 0, iterations=5).astype(np.uint8)
+            save_nii(NiftiImage(mask),
+                     os.path.join(sub, "tmp", "MNI_subcortical_mask.nii.gz"))
+        subs.append(sub)
+    return subs
+
+
 def make_synthetic_atlas(out_dir: str, shape=(64, 72, 60), seed: int = 0,
                          n_structures: int = 14):
     """Write T1_template.nii.gz + atlas_subcortical_MNI.nii.gz to out_dir.

@@ -115,5 +115,7 @@ def test_cli_run_composed(tmp_path, capsys, monkeypatch):
              if l.startswith("{")]
     cohort = [l for l in lines if "cohort_mean_dice" in l]
     assert cohort and cohort[0]["n_subjects"] == 2
-    # one epoch on a phantom: just require a sane, nonzero cohort Dice
-    assert 0.0 < cohort[0]["cohort_mean_dice"] <= 1.0
+    # one epoch on an easy phantom must already segment recognizably (the
+    # convergence gate proper is tests/test_trainqual.py + bench_trainqual);
+    # a model that learned nothing scores ~0 here
+    assert 0.25 <= cohort[0]["cohort_mean_dice"] <= 1.0, cohort[0]
