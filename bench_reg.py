@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Registration-quality benchmark: recover a known smooth warp on the
+synthetic phantom and measure post-registration structure Dice and fold
+diagnostics for all four FFD configurations — native SSD/NMI
+(tools/reg_f3d) and JAX SSD/NMI (registration/jax_ffd).
+
+The reference shells out to NiftyReg's NMI-driven reg_f3d
+(cnn_cort/base.py:516-521) whose warped priors feed both training and
+inference; a folded (non-invertible) recovered warp silently corrupts the
+prior channels. This gate warps the known phantom structures through each
+recovered transform and asserts:
+
+  structure Dice >= DICE_FLOOR   (alignment quality)
+  min det(J)/det(A) > 0          (diffeomorphic — no folds)
+
+NMI runs against an intensity-remapped subject (its reason to exist); SSD
+against the same-intensity subject.
+
+Prints ONE JSON line per backend/cost combination.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np  # noqa: E402
+from scipy import ndimage  # noqa: E402
+
+DICE_FLOOR = 0.80  # unregistered (identity) scores 0.63 on this phantom
+TOOLS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+
+
+def make_phantom(shape=(64, 72, 60), seed=0, amp=3.0):
+    """Template + atlas + a subject = template sampled through a known
+    smooth warp T_known (pure nonrigid, ~``amp``-voxel sinusoidal field).
+    Returns (template, subject, subject_remap, gt_masks) where gt_masks are
+    the structure masks in subject space."""
+    from subcort_tpu.registration.atlas import make_synthetic_atlas
+
+    with tempfile.TemporaryDirectory() as d:
+        template, atlas = make_synthetic_atlas(d, shape=shape, seed=seed)
+
+    X, Y, Z = shape
+    gx, gy, gz = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                             indexing="ij")
+    dx = amp * np.sin(np.pi * gx / X) * np.cos(np.pi * gy / Y)
+    dy = amp * np.sin(np.pi * gy / Y) * np.cos(np.pi * gz / Z)
+    dz = 0.5 * amp * np.sin(np.pi * gz / Z)
+    coords = np.stack([gx + dx, gy + dy, gz + dz], 0)
+
+    subject = ndimage.map_coordinates(template, coords, order=1).astype(np.float32)
+    gt_masks = np.stack(
+        [ndimage.map_coordinates(atlas[..., s], coords, order=1) > 0.5
+         for s in range(14)], -1)
+    fmax = subject.max()
+    subject_remap = ((fmax - subject) ** 2 / fmax).astype(np.float32)
+    return template, subject, subject_remap, atlas, gt_masks
+
+
+def structure_dice(grid, atlas, gt_masks):
+    """Warp each atlas structure channel through the recovered transform and
+    Dice it against the known subject-space structure masks."""
+    from subcort_tpu.registration import resample_through_cpp
+
+    shape = gt_masks.shape[:3]
+    dices = []
+    for s in range(14):
+        warped = np.asarray(resample_through_cpp(
+            np.asarray(atlas[..., s], np.float32), np.eye(4), grid,
+            shape, np.eye(4)))
+        p = warped > 0.5
+        g = gt_masks[..., s]
+        denom = int(p.sum()) + int(g.sum())
+        dices.append(2.0 * int((p & g).sum()) / denom if denom else 0.0)
+    return float(np.mean(dices))
+
+
+def run_native(ref_vol, template, cost, workdir):
+    from subcort_tpu.io import NiftiImage, save_nii
+    from subcort_tpu.registration import load_cpp_grid
+
+    ref_p = os.path.join(workdir, f"ref_{cost}.nii.gz")
+    flo_p = os.path.join(workdir, f"flo_{cost}.nii.gz")
+    cpp_p = os.path.join(workdir, f"cpp_{cost}.nii")
+    save_nii(NiftiImage(ref_vol), ref_p)
+    save_nii(NiftiImage(template), flo_p)
+    args = [os.path.join(TOOLS, "reg_f3d"), "-ref", ref_p, "-flo", flo_p,
+            "-cpp", cpp_p, "-sx", "6", "-be", "0.02" if cost == "ssd" else "5e-4"]
+    if cost == "nmi":
+        args.append("-nmi")
+    t0 = time.time()
+    out = subprocess.run(args, capture_output=True, text=True)
+    secs = time.time() - t0
+    assert out.returncode == 0, out.stderr
+    jac = {}
+    for line in out.stdout.splitlines():
+        if line.startswith("[reg_f3d] jacobian"):
+            parts = dict(kv.split("=") for kv in line.split()[2:])
+            jac = {"min_jac": float(parts["min"]),
+                   "neg_fraction": float(parts["neg_fraction"])}
+    return load_cpp_grid(cpp_p, np.eye(4)), jac, secs
+
+
+def run_jax(ref_vol, template, cost):
+    from subcort_tpu.registration.jax_ffd import jacobian_stats, register_ffd_jax
+
+    t0 = time.time()
+    grid, _ = register_ffd_jax(ref_vol, template, spacing_mm=6.0,
+                               iters=(60, 10), cost=cost)
+    secs = time.time() - t0
+    return grid, jacobian_stats(grid, ref_vol.shape), secs
+
+
+def main():
+    from subcort_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    template, subject, subject_remap, atlas, gt_masks = make_phantom()
+    # context: what a do-nothing registration scores on this phantom
+    from subcort_tpu.registration.jax_backend import CppGrid
+    nc = tuple(int(np.ceil((d - 1) / 6.0)) + 4 for d in template.shape)
+    identity_dice = structure_dice(
+        CppGrid(disp=np.zeros(nc + (3,), np.float32), spacing=6.0,
+                ref_affine=np.eye(4)), atlas, gt_masks)
+    results = []
+    with tempfile.TemporaryDirectory() as workdir:
+        for backend in ("native", "jax"):
+            if backend == "native" and not os.path.exists(
+                    os.path.join(TOOLS, "reg_f3d")):
+                print(json.dumps({"backend": "native",
+                                  "skipped": "tools not built"}))
+                continue
+            for cost in ("ssd", "nmi"):
+                ref_vol = subject_remap if cost == "nmi" else subject
+                if backend == "native":
+                    grid, jac, secs = run_native(ref_vol, template, cost, workdir)
+                else:
+                    grid, jac, secs = run_jax(ref_vol, template, cost)
+                dice = structure_dice(grid, atlas, gt_masks)
+                rec = {
+                    "metric": "registration_structure_dice",
+                    "backend": backend,
+                    "cost": cost,
+                    "value": round(dice, 4),
+                    "unit": "dice",
+                    "min_jac": round(jac.get("min_jac", float("nan")), 4),
+                    "neg_fraction": jac.get("neg_fraction"),
+                    "remapped_intensities": cost == "nmi",
+                    "seconds": round(secs, 2),
+                    "identity_dice": round(identity_dice, 4),
+                    "dice_floor": DICE_FLOOR,
+                    "passed": bool(dice >= DICE_FLOOR
+                                   and jac.get("min_jac", -1) > 0.0),
+                }
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+    assert all(r["passed"] for r in results), results
+    return results
+
+
+if __name__ == "__main__":
+    main()

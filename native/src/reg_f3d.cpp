@@ -487,6 +487,51 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
 
 }  // namespace
 
+// Fold diagnostics (NiftyReg's reg_f3d penalizes negative Jacobians; the
+// rebuilt optimizer regularizes with bending energy instead, so report
+// whether the fitted warp stayed diffeomorphic): relative Jacobian
+// determinant det(d T/dx)/det(A) of T(x) = world(x) + d(x) via central
+// differences of the dense displacement over the reference interior.
+static void jacobian_stats(const Image& ref, const CppGrid& grid,
+                           double* min_j, double* neg_frac) {
+  const auto& A = ref.affine;
+  const double detA =
+      A[0][0] * (A[1][1] * A[2][2] - A[1][2] * A[2][1]) -
+      A[0][1] * (A[1][0] * A[2][2] - A[1][2] * A[2][0]) +
+      A[0][2] * (A[1][0] * A[2][1] - A[1][1] * A[2][0]);
+  double mn = 1e300;
+  int64_t neg = 0, total = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) reduction(min : mn) \
+    reduction(+ : neg, total)
+#endif
+  for (int64_t z = 1; z < ref.nz() - 1; ++z)
+    for (int64_t y = 1; y < ref.ny() - 1; ++y)
+      for (int64_t x = 1; x < ref.nx() - 1; ++x) {
+        double J[3][3];
+        for (int ax = 0; ax < 3; ++ax) {
+          double p[3] = {(double)x, (double)y, (double)z};
+          double m[3] = {(double)x, (double)y, (double)z};
+          p[ax] += 1.0;
+          m[ax] -= 1.0;
+          Vec3 dp = grid.displacement(p[0], p[1], p[2]);
+          Vec3 dm = grid.displacement(m[0], m[1], m[2]);
+          J[0][ax] = A[0][ax] + 0.5 * (dp.x - dm.x);
+          J[1][ax] = A[1][ax] + 0.5 * (dp.y - dm.y);
+          J[2][ax] = A[2][ax] + 0.5 * (dp.z - dm.z);
+        }
+        double det = J[0][0] * (J[1][1] * J[2][2] - J[1][2] * J[2][1]) -
+                     J[0][1] * (J[1][0] * J[2][2] - J[1][2] * J[2][0]) +
+                     J[0][2] * (J[1][0] * J[2][1] - J[1][1] * J[2][0]);
+        det /= detA;
+        mn = std::min(mn, det);
+        if (det <= 0.0) ++neg;
+        ++total;
+      }
+  *min_j = mn;
+  *neg_frac = total ? (double)neg / (double)total : 0.0;
+}
+
 int main(int argc, char** argv) {
   std::string ref_path, flo_path, aff_path, cpp_path, res_path;
   double sx_mm = 10.0, be = -1.0;  // default resolved per cost below
@@ -570,6 +615,17 @@ int main(int argc, char** argv) {
                    use_nmi);
 
     geom::save_cpp(grid, cpp_path);
+
+    double min_j = 0.0, neg_frac = 0.0;
+    jacobian_stats(ref0, grid, &min_j, &neg_frac);
+    std::printf("[reg_f3d] jacobian min=%.4f neg_fraction=%.6f\n", min_j,
+                neg_frac);
+    if (min_j <= 0.0)
+      std::fprintf(stderr,
+                   "[reg_f3d] WARNING: transform folds (min jacobian "
+                   "%.4f over %.2f%% of voxels) — warped priors there are "
+                   "unreliable; raise -be\n",
+                   min_j, 100.0 * neg_frac);
 
     if (!res_path.empty()) {
       const Affine flo_w2v = geom::inverse(flo0.affine);

@@ -80,6 +80,36 @@ def _bending(d: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(lap * lap)
 
 
+def _jac_det_rel(dd: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Relative Jacobian determinant of T(x) = A@x + dd(x) on the interior
+    voxel grid. dd: (X,Y,Z,3) world displacement; A: (3,3) vox->world.
+    Returns (X-2,Y-2,Z-2) det(∂T/∂x)/det(A): 1 = volume-preserving,
+    <= 0 = folded (non-invertible) deformation."""
+    cols = []
+    for ax in range(3):
+        sl_p = [slice(1, -1)] * 3
+        sl_m = [slice(1, -1)] * 3
+        sl_p[ax] = slice(2, None)
+        sl_m[ax] = slice(0, -2)
+        g = 0.5 * (dd[tuple(sl_p)] - dd[tuple(sl_m)])  # central differences
+        cols.append(g + A[:, ax])
+    det = jnp.sum(cols[0] * jnp.cross(cols[1], cols[2]), axis=-1)
+    return det / jnp.linalg.det(A)
+
+
+def jacobian_stats(grid, shape) -> dict:
+    """Fold diagnostics for a fitted FFD (NiftyReg's reg_f3d penalizes
+    negative Jacobians; base.py:516-521): evaluates the dense deformation
+    over the reference ``shape`` and reports min det(J)/det(A) and the
+    folded-voxel fraction. min_jac <= 0 means the warp is non-invertible
+    somewhere and warped priors there are unreliable."""
+    dd = _dense_disp(jnp.asarray(grid.disp), grid.spacing, shape)
+    A = jnp.asarray(np.asarray(grid.ref_affine)[:3, :3], jnp.float32)
+    det = _jac_det_rel(dd, A)
+    return {"min_jac": float(det.min()),
+            "neg_fraction": float((det <= 0.0).mean())}
+
+
 def _downsample2(vol: jnp.ndarray) -> jnp.ndarray:
     x, y, z = (s - s % 2 for s in vol.shape)
     v = vol[:x, :y, :z]
@@ -137,10 +167,11 @@ def _nmi(ref01: jnp.ndarray, warped01: jnp.ndarray, nbins: int,
     return (hr + hw) / jnp.maximum(hrw, eps)
 
 
-@partial(jax.jit, static_argnames=("spacing", "iters", "lr", "cost", "nbins"))
+@partial(jax.jit, static_argnames=("spacing", "iters", "lr", "cost", "nbins",
+                                   "jw"))
 def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
                     spacing: float, iters: int, be: float, lr: float,
-                    cost: str = "ssd", nbins: int = 32):
+                    cost: str = "ssd", nbins: int = 32, jw: float = 0.0):
     shape = ref.shape
     gx, gy, gz = jnp.meshgrid(jnp.arange(shape[0], dtype=jnp.float32),
                               jnp.arange(shape[1], dtype=jnp.float32),
@@ -169,7 +200,14 @@ def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
             data = 2.0 - _nmi(ref01, w01, nbins)  # NMI in [1,2]; minimize
         else:
             data = jnp.mean((warped - ref) ** 2)
-        return data + be * _bending(d - d_affine) / d.size
+        loss = data + be * _bending(d - d_affine) / d.size
+        if jw > 0.0:
+            # folding penalty (NiftyReg reg_f3d analogue): push the relative
+            # Jacobian determinant above a 0.1 margin everywhere. dd is
+            # already materialized, so this costs a few elementwise volumes.
+            detrel = _jac_det_rel(dd, ref_affine[:3, :3])
+            loss = loss + jw * jnp.mean(jax.nn.relu(0.1 - detrel) ** 2)
+        return loss
 
     # decay within the level: constant-lr Adam can oscillate/diverge once
     # near the optimum on long runs
@@ -193,13 +231,19 @@ def register_ffd_jax(ref: np.ndarray, flo: np.ndarray,
                      spacing_mm: float = 10.0,
                      iters: Tuple[int, int] = (60, 15),
                      be: Optional[float] = None, lr_mm: float = 0.4,
-                     cost: str = "ssd", nbins: int = 32):
+                     cost: str = "ssd", nbins: int = 32,
+                     fold_penalty: float = 0.0, warn_folds: bool = True):
     """Register flo onto ref; returns (CppGrid, per-level loss arrays).
 
     ``cost`` is "ssd" (default) or "nmi" (intensity-remap-robust, like the
     reference's NiftyReg reg_f3d). ``be`` defaults per cost: the NMI data
     term lives in [0,1] while SSD scales with intensity², so they need
     different bending weights (0.05 for SSD, 5e-4 for NMI).
+
+    ``fold_penalty`` > 0 adds a Jacobian-determinant penalty (NiftyReg's
+    reg_f3d penalizes negative Jacobians) pushing det(J)/det(A) above 0.1
+    everywhere; with ``warn_folds`` (default) a fitted transform that still
+    folds emits a RuntimeWarning (diagnose with ``jacobian_stats``).
 
     The returned grid uses the native SUBCORT_CPP contract and can be
     consumed by ``tools/reg_resample`` or the JAX resampler directly.
@@ -249,18 +293,29 @@ def register_ffd_jax(ref: np.ndarray, flo: np.ndarray,
         disp, d_aff, ref_c, flo_c,
         jnp.asarray(ref_affine_c, jnp.float32),
         jnp.asarray(np.linalg.inv(flo_affine_c), jnp.float32),
-        spacing / 2.0, int(iters[0]), be, lr_mm, cost=cost, nbins=nbins)
+        spacing / 2.0, int(iters[0]), be, lr_mm, cost=cost, nbins=nbins,
+        jw=float(fold_penalty))
     losses.append(np.asarray(l0))
     # the fine level refines an almost-converged state: halve the step so
     # fresh Adam moment estimates don't overshoot it
     disp, l1 = _optimize_level(
         disp, d_aff, ref_j, flo_j,
         jnp.asarray(ref_affine, jnp.float32), flo_inv,
-        spacing, int(iters[1]), be, lr_mm / 2.0, cost=cost, nbins=nbins)
+        spacing, int(iters[1]), be, lr_mm / 2.0, cost=cost, nbins=nbins,
+        jw=float(fold_penalty))
     losses.append(np.asarray(l1))
 
     grid = CppGrid(disp=disp, spacing=float(spacing),
                    ref_affine=np.asarray(ref_affine))
+    if warn_folds:
+        stats = jacobian_stats(grid, ref.shape)
+        if stats["min_jac"] <= 0.0:
+            import warnings
+            warnings.warn(
+                f"FFD transform folds: min det(J)/det(A) = "
+                f"{stats['min_jac']:.4f} over {stats['neg_fraction']:.2%} of "
+                "voxels — warped priors there are unreliable; consider "
+                "fold_penalty > 0 or a larger bending weight", RuntimeWarning)
     return grid, losses
 
 

@@ -32,6 +32,7 @@ def _run(tool, *args):
     r = subprocess.run([os.path.join(TOOLS, tool), *args],
                        capture_output=True, text=True)
     assert r.returncode == 0, f"{tool} failed: {r.stderr}"
+    return r
 
 
 # ------------------------------------------------------------- reg_resample
@@ -138,14 +139,23 @@ def test_ffd_improves_warped_alignment(tmp_path, rng):
     np.savetxt(aff_p, np.eye(4))
     cpp_p = str(tmp_path / "transform.nii")
     res_p = str(tmp_path / "res.nii.gz")
-    _run("reg_f3d", "-ref", ref_p, "-flo", flo_p, "-aff", aff_p,
-         "-cpp", cpp_p, "-res", res_p, "-sx", "6", "-maxit", "20")
+    r = _run("reg_f3d", "-ref", ref_p, "-flo", flo_p, "-aff", aff_p,
+             "-cpp", cpp_p, "-res", res_p, "-sx", "6", "-maxit", "20")
 
     before = float(((flo - base) ** 2).mean())
     res = load_nii(res_p).data
     after = float(((res - base) ** 2).mean())
     assert after < before * 0.6  # FFD recovered most of the warp
     assert os.path.exists(cpp_p)
+
+    # fold diagnostics (NiftyReg analogue): a smooth recovered warp must be
+    # diffeomorphic, and the tool must report it on stdout
+    jac = [l for l in r.stdout.splitlines()
+           if l.startswith("[reg_f3d] jacobian")]
+    assert jac, r.stdout
+    parts = dict(kv.split("=") for kv in jac[0].split()[2:])
+    assert float(parts["min"]) > 0.0, jac[0]
+    assert float(parts["neg_fraction"]) == 0.0, jac[0]
 
 
 # ------------------------------------------------- JAX backend parity
