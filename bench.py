@@ -91,24 +91,12 @@ def main():
     # median/n are reported alongside so artifact readers can judge noise.
     REPEATS = int(os.environ.get("SUBCORT_BENCH_REPEATS", "9"))
 
-    def timed(fn, n=REPEATS):
-        ts = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            fn()
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[0], ts[len(ts) // 2]
-
     # headline: the reference's default production config
     # (speedup_segmentation=True + post_process=True, configuration.cfg).
     def run_exact():
         nonlocal labels
         labels, _ = segment_volume(params, image, atlas, centers)
         post_process_segmentation(None, labels, atlas_mask=roi)
-
-    labels = None
-    per_scan, per_scan_med = timed(run_exact)
 
     # secondary: TPU-idiomatic fast profile — bfloat16 activations (2x MXU)
     # + uint8 prior transfer (half the tunnel bytes). Lossy by design;
@@ -122,15 +110,31 @@ def main():
                                         **fast_kw)
         post_process_segmentation(None, labels_fast, atlas_mask=roi)
 
-    fast_per_scan, fast_med = timed(run_fast, max(REPEATS - 2, 3))
-
     # secondary: + 15-class probability maps (out_probabilities=True)
     def run_probs():
         labels_p, _ = segment_volume(params, image, atlas, centers,
                                      want_probs=True)
         post_process_segmentation(None, labels_p, atlas_mask=roi)
 
-    with_probs, with_probs_med = timed(run_probs)
+    # the tunnel's throughput drifts in minutes-long phases (2-4x): run the
+    # three configurations INTERLEAVED so they sample the same phases, then
+    # take per-config min (the honest device+pipeline number) and median
+    labels = None
+    samples = {"exact": [], "fast": [], "probs": []}
+    for _ in range(REPEATS):
+        for name, fn in (("exact", run_exact), ("fast", run_fast),
+                         ("probs", run_probs)):
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(time.perf_counter() - t0)
+
+    def stats(name):
+        ts = sorted(samples[name])
+        return ts[0], ts[len(ts) // 2]
+
+    per_scan, per_scan_med = stats("exact")
+    fast_per_scan, fast_med = stats("fast")
+    with_probs, with_probs_med = stats("probs")
 
     # quality canary: the two independent engines (dense à-trous vs Pallas
     # patch gather) must agree at scale — catches silent numerical drift

@@ -77,7 +77,7 @@ class Options(Mapping[str, Any]):
     use_fcn: bool = True            # à-trous fully-convolutional fast path
     bugcompat_postprocess_argmax: bool = False  # reproduce base.py:474 quirk (§2.3-7)
     dilate_crop_iters: int = 10     # base.py:369 binary_dilation(iterations=10)
-    prior_dtype: str = "float16"    # host->device prior transfer: float16 | uint8 | float32
+    prior_dtype: str = "uint16"     # host->device prior wire: uint16 (fixed-point, most accurate+fastest) | float16 | uint8 | float32
     probs_dtype: str = "float16"    # device->host probability readback dtype
     cc_backend: str = "scipy"       # post-process connected components: scipy | device
     fcn_max_bbox_voxels: int = 6_000_000  # dense-evaluator sub-slab budget
@@ -173,7 +173,7 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
         bugcompat_postprocess_argmax=_as_bool(
             opt("tpu", "bugcompat_postprocess_argmax", False)),
         dilate_crop_iters=int(opt("tpu", "dilate_crop_iters", 10, int)),
-        prior_dtype=opt("tpu", "prior_dtype", "float16").strip(),
+        prior_dtype=opt("tpu", "prior_dtype", "uint16").strip(),
         probs_dtype=opt("tpu", "probs_dtype", "float16").strip(),
         cc_backend=opt("tpu", "cc_backend", "scipy").strip(),
         fcn_max_bbox_voxels=int(opt("tpu", "fcn_max_bbox_voxels",

@@ -149,6 +149,11 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     bz = slab.shape[2] - RF
     if atlas_vecs.dtype == jnp.uint8:  # quantized prior transfer
         atlas_vecs = atlas_vecs.astype(slab.dtype) * (1.0 / 255.0)
+    elif atlas_vecs.dtype == jnp.uint16:
+        # fixed-point wire default: dequantize in f32 (65535 is not bf16-
+        # representable) then cast to the compute dtype
+        atlas_vecs = (atlas_vecs.astype(jnp.float32)
+                      * (1.0 / 65535.0)).astype(slab.dtype)
     else:
         atlas_vecs = atlas_vecs.astype(slab.dtype)
 

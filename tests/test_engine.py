@@ -287,3 +287,16 @@ def test_segment_volume_uint8_prior_agreement(params, phantom, rng):
                             prior_dtype=np.uint8)
     sel = centers[:, 0], centers[:, 1], centers[:, 2]
     assert (lv8[sel] == lv32[sel]).mean() >= 0.999
+
+
+def test_segment_volume_uint16_prior_default_agreement(params, phantom, rng):
+    """The default fixed-point uint16 prior wire (1/65535 steps — tighter
+    than float16's ~1e-3 relative error) must be label-identical to the
+    float32 path on the phantom."""
+    image, atlas, mask = phantom
+    centers = np.stack(np.nonzero(mask), axis=1).astype(np.int32)
+    lv32, _ = segment_volume(params, image, atlas, centers, engine="fcn",
+                             prior_dtype=np.float32)
+    lv16, _ = segment_volume(params, image, atlas, centers, engine="fcn")
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    assert (lv16[sel] == lv32[sel]).mean() >= 0.9999
