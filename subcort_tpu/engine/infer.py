@@ -110,6 +110,16 @@ def _forward_centers(params, padded_vol, centers, atlas_vecs,
     return labels, probs
 
 
+@jax.jit
+def _pad_normalize_device(raw: jnp.ndarray, scal: jnp.ndarray) -> jnp.ndarray:
+    """(raw - mean) * inv_std on device, then the HALF halo pad — the
+    device-side twin of host normalize + ops.pad_volume for raw-wire
+    integer volumes (halo voxels are 0 in normalized space, as pad_volume
+    produces)."""
+    norm = (raw.astype(scal.dtype) - scal[0]) * scal[1]
+    return pad_volume(norm)
+
+
 def candidate_centers(image: np.ndarray, options: Options,
                       atlas_mask: Optional[np.ndarray]) -> np.ndarray:
     """Candidate voxels to classify.
@@ -432,8 +442,16 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
 
     # ------------------------------------------------------------- patch path
     mean, std = stats
-    norm = (image.astype(np.float32) - np.float32(mean)) * np.float32(1.0 / std)
-    padded = pad_volume(jnp.asarray(norm, dev_dtype))
+    if image.dtype.kind in "iu" and image.dtype.itemsize <= 2:
+        # raw narrow-integer wire (the usual int16 T1): ship the raw volume
+        # and pad+normalize on device — identical (x - mean) * inv_std f32
+        # arithmetic, a quarter of the host->device bytes
+        padded = _pad_normalize_device(
+            jnp.asarray(image),
+            jnp.asarray([mean, 1.0 / std], np.float32).astype(dev_dtype))
+    else:
+        norm = (image.astype(np.float32) - np.float32(mean)) * np.float32(1.0 / std)
+        padded = pad_volume(jnp.asarray(norm, dev_dtype))
     vecs = _atlas_vectors_host(atlas, centers)
 
     if devices is not None and len(devices) > 1:

@@ -90,6 +90,13 @@ def test_fcn_raw_int16_slab_matches_host_normalized(params, rng):
     np.testing.assert_array_equal(lv16, lv32)
     np.testing.assert_allclose(pv16, pv32, atol=1e-6)
 
+    # the patch engine's raw-wire path (device pad+normalize) likewise
+    lp16, _ = segment_volume(params, image16, atlas, centers,
+                             engine="patch", chunk=64)
+    lp32, _ = segment_volume(params, image32, atlas, centers,
+                             engine="patch", chunk=64)
+    np.testing.assert_array_equal(lp16, lp32)
+
 
 def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
     """Sparse candidates in a big bbox take the gathered-head path (the head
