@@ -275,7 +275,7 @@ class Trainer:
                  augment: bool = False, shuffle_each_epoch: bool = False,
                  n_devices: Optional[int] = None,
                  lr_schedule: Optional[tuple] = None,
-                 steps_per_call: int = 8):
+                 steps_per_call: int = 32):
         self.options = options
         # train with im2col convs: conv-gradient lowering is pathologically
         # slow on the TPU remote compiler; im2col is all matmuls (see

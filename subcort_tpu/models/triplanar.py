@@ -207,18 +207,24 @@ def _conv2d_valid_im2col(x, w):
     only). All forward/backward ops are slices, pads and dot_generals —
     which both compile fast and run well on the MXU for small channel
     counts. (h, w) tap order matches the HWIO kernel layout.
+
+    Layout notes (profiled on v5e): taps are concatenated on the CHANNEL
+    (lane) axis — (tap, channel) order, identical to the (kh, kw, c) kernel
+    flatten — and the contraction runs over that last dim directly, keeping
+    (N, oh, ow) as untouched batch dims. The earlier stack-on-a-new-axis +
+    flatten-to-2D formulation spent HALF the train-step device time in
+    reshape/copy relayouts.
     """
     n, h, wd, c = x.shape
     kh, kw, _, o = w.shape
     oh, ow = h - kh + 1, wd - kw + 1
     taps = [x[:, i:i + oh, j:j + ow, :] for i in range(kh) for j in range(kw)]
-    patches = jnp.stack(taps, axis=3)                    # (N, oh, ow, 9, C)
-    lhs = patches.reshape(n * oh * ow, kh * kw * c)
+    patches = jnp.concatenate(taps, axis=-1)             # (N, oh, ow, 9C)
     rhs = w.reshape(kh * kw * c, o)
-    out = lax.dot_general(lhs, rhs, (((1,), (0,)), ((), ())),
+    out = lax.dot_general(patches, rhs, (((3,), (0,)), ((), ())),
                           precision=lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
-    return out.astype(x.dtype).reshape(n, oh, ow, o)
+    return out.astype(x.dtype)
 
 
 def _conv(x, w, impl: str):

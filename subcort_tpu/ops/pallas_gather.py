@@ -34,9 +34,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 PATCH = 32
 HALF = 16
-BLOCK = 16     # patches per grid program
+# patches per grid program == DMA pipeline depth (BLOCK*3 copies in
+# flight). 16 measured best-or-tied on v5e at training batch sizes; env
+# override for hardware retuning without a code change.
+BLOCK = int(os.environ.get("SUBCORT_PALLAS_BLOCK", "16"))
 SUB = 40       # superblock sublanes: 8-aligned start + 32 window
 LANE = 256     # superblock lanes: 128-aligned start + 32 window
 
