@@ -440,7 +440,10 @@ class Trainer:
             volumes = jax.device_put(index.volumes, replicated(self.mesh))
 
         ndev = self.mesh.devices.size
-        eval_bs = max(batch_size, 1024)  # validation is forward-only; batch big
+        # validation is forward-only: batch big to amortize per-dispatch
+        # tunnel RTT (~23 ms measured); 2048 keeps the im2col patch tensors
+        # ~1.2 GB, well inside HBM
+        eval_bs = max(batch_size, 2048)
         shuffle_rng = np.random.default_rng(opts["seed"] + 1)
 
         while self.epoch < max_epochs:
