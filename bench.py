@@ -89,7 +89,7 @@ def main():
     # so each configuration runs REPEATS times interleaved with nothing
     # else; `value` is the min (the honest device+pipeline number) and the
     # median/n are reported alongside so artifact readers can judge noise.
-    REPEATS = int(os.environ.get("SUBCORT_BENCH_REPEATS", "9"))
+    REPEATS = max(1, int(os.environ.get("SUBCORT_BENCH_REPEATS", "9")))
 
     # headline: the reference's default production config
     # (speedup_segmentation=True + post_process=True, configuration.cfg).

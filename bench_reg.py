@@ -38,8 +38,8 @@ TOOLS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
 def make_phantom(shape=(64, 72, 60), seed=0, amp=3.0):
     """Template + atlas + a subject = template sampled through a known
     smooth warp T_known (pure nonrigid, ~``amp``-voxel sinusoidal field).
-    Returns (template, subject, subject_remap, gt_masks) where gt_masks are
-    the structure masks in subject space."""
+    Returns (template, subject, subject_remap, atlas, gt_masks) where
+    gt_masks are the structure masks in subject space."""
     from subcort_tpu.registration.atlas import make_synthetic_atlas
 
     with tempfile.TemporaryDirectory() as d:

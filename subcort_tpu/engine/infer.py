@@ -55,12 +55,13 @@ def load_test_names(options: Options) -> Tuple[list, list]:
 
 
 @partial(jax.jit, static_argnames=("chunk", "want_probs", "spec", "use_pallas",
-                                   "probs_dtype"))
+                                   "probs_dtype", "compute_dtype"))
 def _forward_centers(params, padded_vol, centers, atlas_vecs,
                      chunk: int, want_probs: bool,
                      spec: TriPlanarSpec = DEFAULT_SPEC,
                      use_pallas: bool = False,
-                     probs_dtype: str = "float32"):
+                     probs_dtype: str = "float32",
+                     compute_dtype: str = "float32"):
     """The fused device program: tri-planar gather -> forward, scanned over
     ``chunk``-sized center blocks.
 
@@ -88,6 +89,13 @@ def _forward_centers(params, padded_vol, centers, atlas_vecs,
             ax, co, sa = gather_triplanar_pallas(*view_vols, c)
         else:
             ax, co, sa = gather_triplanar(padded_vol, c)
+        if jnp.dtype(compute_dtype) != padded_vol.dtype:
+            # the volume stays f32 (the DMA kernel's rolls are 32-bit only,
+            # and f32-gather-then-cast matches the normalize-then-cast
+            # precision rule); patches+priors cast here for bf16 compute
+            cd = jnp.dtype(compute_dtype)
+            ax, co, sa, at = (ax.astype(cd), co.astype(cd), sa.astype(cd),
+                              at.astype(cd))
         probs = model_apply(params, {"axial": ax, "coronal": co,
                                      "sagittal": sa, "atlas": at}, spec=spec)
         labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)
@@ -110,13 +118,16 @@ def _forward_centers(params, padded_vol, centers, atlas_vecs,
     return labels, probs
 
 
-@jax.jit
-def _pad_normalize_device(raw: jnp.ndarray, scal: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("out_dtype",))
+def _pad_normalize_device(raw: jnp.ndarray, scal: jnp.ndarray,
+                          out_dtype: str = "float32") -> jnp.ndarray:
     """(raw - mean) * inv_std on device, then the HALF halo pad — the
     device-side twin of host normalize + ops.pad_volume for raw-wire
     integer volumes (halo voxels are 0 in normalized space, as pad_volume
-    produces)."""
-    norm = (raw.astype(scal.dtype) - scal[0]) * scal[1]
+    produces). Normalization runs in f32 (host-path-exact) and only then
+    casts to ``out_dtype``."""
+    norm = ((raw.astype(jnp.float32) - scal[0])
+            * scal[1]).astype(jnp.dtype(out_dtype))
     return pad_volume(norm)
 
 
@@ -354,11 +365,11 @@ def _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
             norm_d = None
         else:
             # raw narrow-integer bytes over the wire; normalization happens
-            # on device (scale cast to the compute dtype)
+            # on device in f32 (host-path-exact) then casts to dev_dtype
             slab_d = jnp.asarray(slab)
             scal, nlo, nhi = norm
-            norm_d = (jnp.asarray(scal, dev_dtype), jnp.asarray(nlo),
-                      jnp.asarray(nhi))
+            norm_d = (jnp.asarray(scal), jnp.asarray(nlo),
+                      jnp.asarray(nhi), jnp.zeros((), dev_dtype))
         vecs_d = jnp.asarray(vecs)
         idx_d = None if gather_idx is None else jnp.asarray(gather_idx)
         if dev is not None:
@@ -441,6 +452,10 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         return label_vol, prob_vol
 
     # ------------------------------------------------------------- patch path
+    # the padded volume stays float32 regardless of compute_dtype: the
+    # Pallas gather's VMEM rolls are 32-bit-only (Mosaic), and gathering in
+    # f32 then casting patches matches the normalize-then-cast precision
+    # rule; the per-chunk cast happens inside _forward_centers.
     mean, std = stats
     if image.dtype.kind in "iu" and image.dtype.itemsize <= 2:
         # raw narrow-integer wire (the usual int16 T1): ship the raw volume
@@ -448,10 +463,10 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         # arithmetic, a quarter of the host->device bytes
         padded = _pad_normalize_device(
             jnp.asarray(image),
-            jnp.asarray([mean, 1.0 / std], np.float32).astype(dev_dtype))
+            jnp.asarray([mean, 1.0 / std], np.float32))
     else:
         norm = (image.astype(np.float32) - np.float32(mean)) * np.float32(1.0 / std)
-        padded = pad_volume(jnp.asarray(norm, dev_dtype))
+        padded = pad_volume(jnp.asarray(norm))
     vecs = _atlas_vectors_host(atlas, centers)
 
     if devices is not None and len(devices) > 1:
@@ -463,7 +478,8 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         mesh = Mesh(np.asarray(devices), ("data",))
         labels, probs = predict_labels_sharded(
             params, padded, centers, vecs, mesh, chunk=chunk, spec=spec,
-            want_probs=want_probs, probs_dtype=jnp.dtype(probs_dtype).name)
+            want_probs=want_probs, probs_dtype=jnp.dtype(probs_dtype).name,
+            compute_dtype=jnp.dtype(dev_dtype).name)
         label_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = labels
         if want_probs:
             prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = \
@@ -485,7 +501,8 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     labels, probs = _forward_centers(
         params, padded, jnp.asarray(centers_p), jnp.asarray(vecs_p),
         chunk, want_probs, spec, use_pallas=use_pallas,
-        probs_dtype=jnp.dtype(probs_dtype).name)
+        probs_dtype=jnp.dtype(probs_dtype).name,
+        compute_dtype=jnp.dtype(dev_dtype).name)
     labels = np.asarray(labels)[:n]
     label_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = labels
     if want_probs:

@@ -135,14 +135,19 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     The head MLP runs as a lax.scan over voxel chunks to bound HBM temps.
     """
     if norm is not None:
-        scal, lo, hi = norm
-        x = (slab.astype(scal.dtype) - scal[0]) * scal[1]
+        # scal stays float32 regardless of the compute dtype: normalization
+        # must match the host path's f32 arithmetic exactly, THEN cast
+        # (normalizing in bf16 would quantize raw voxel values first, ~5x
+        # the error of f32-normalize-then-cast). ``out`` is a zero-size
+        # compute-dtype carrier.
+        scal, lo, hi, out = norm
+        x = (slab.astype(jnp.float32) - scal[0]) * scal[1]
         mask = None
         for ax in range(3):
             ii = lax.broadcasted_iota(jnp.int32, slab.shape, ax)
             m = (ii >= lo[ax]) & (ii < hi[ax])
             mask = m if mask is None else mask & m
-        slab = jnp.where(mask, x, jnp.zeros((), x.dtype))
+        slab = jnp.where(mask, x, jnp.zeros((), x.dtype)).astype(out.dtype)
 
     bx = slab.shape[0] - RF
     by = slab.shape[1] - RF

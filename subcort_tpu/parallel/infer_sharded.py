@@ -29,7 +29,8 @@ from subcort_tpu.models.triplanar import DEFAULT_SPEC, TriPlanarSpec
 
 
 def _local_forward(params, padded_vol, centers, vecs, chunk: int,
-                   want_probs: bool, probs_dtype: str, spec: TriPlanarSpec):
+                   want_probs: bool, probs_dtype: str, spec: TriPlanarSpec,
+                   compute_dtype: str = "float32"):
     """Per-device shard program: scan chunk-wise over the local centers."""
     from subcort_tpu.ops import gather_triplanar
 
@@ -40,6 +41,11 @@ def _local_forward(params, padded_vol, centers, vecs, chunk: int,
     def body(carry, inp):
         c, at = inp
         ax, co, sa = gather_triplanar(padded_vol, c)
+        if jnp.dtype(compute_dtype) != padded_vol.dtype:
+            # volume stays f32 (see engine.infer patch path); cast per chunk
+            cd = jnp.dtype(compute_dtype)
+            ax, co, sa, at = (ax.astype(cd), co.astype(cd), sa.astype(cd),
+                              at.astype(cd))
         probs = model_apply(params, {"axial": ax, "coronal": co,
                                      "sagittal": sa, "atlas": at}, spec=spec)
         labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)
@@ -70,15 +76,17 @@ _PROGRAM_CACHE: dict = {}
 
 
 def _sharded_program(mesh: Mesh, chunk: int, want_probs: bool,
-                     probs_dtype: str, spec: TriPlanarSpec):
+                     probs_dtype: str, spec: TriPlanarSpec,
+                     compute_dtype: str = "float32"):
     key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
-           chunk, want_probs, probs_dtype, spec)
+           chunk, want_probs, probs_dtype, spec, compute_dtype)
     fn = _PROGRAM_CACHE.get(key)
     if fn is None:
         fn = jax.jit(
             jax.shard_map(
                 partial(_local_forward, chunk=chunk, want_probs=want_probs,
-                        probs_dtype=probs_dtype, spec=spec),
+                        probs_dtype=probs_dtype, spec=spec,
+                        compute_dtype=compute_dtype),
                 mesh=mesh,
                 in_specs=(P(), P(), P("data"), P("data")),
                 out_specs=(P("data"), P("data") if want_probs else P()),
@@ -92,7 +100,8 @@ def predict_labels_sharded(params, padded_vol, centers: np.ndarray,
                            vecs: np.ndarray, mesh: Mesh, chunk: int = 2048,
                            spec: TriPlanarSpec = DEFAULT_SPEC,
                            want_probs: bool = False,
-                           probs_dtype: str = "float16"):
+                           probs_dtype: str = "float16",
+                           compute_dtype: str = "float32"):
     """Classify candidate voxels across all mesh devices.
 
     centers (N, 3) / vecs (N, 15) are padded to ndev*chunk granularity,
@@ -113,7 +122,8 @@ def predict_labels_sharded(params, padded_vol, centers: np.ndarray,
     vecs_p = np.concatenate([np.asarray(vecs, np.float32),
                              np.zeros((pad, vecs.shape[1]), np.float32)], axis=0)
 
-    fn = _sharded_program(mesh, chunk, want_probs, probs_dtype, spec)
+    fn = _sharded_program(mesh, chunk, want_probs, probs_dtype, spec,
+                          compute_dtype)
     params_r = jax.device_put(params, NamedSharding(mesh, P()))
     vol_r = jax.device_put(padded_vol, NamedSharding(mesh, P()))
     centers_s = jax.device_put(centers_p, NamedSharding(mesh, P("data")))

@@ -101,6 +101,27 @@ def test_bool_accepts_various_spellings():
         assert o.bool("debug") is want
 
 
+def test_shipped_example_config_parses():
+    """The shipped examples/configuration.cfg must load through the real
+    parser with sane typed values — RawConfigParser does NOT strip inline
+    comments, so a stray same-line comment would corrupt values silently."""
+    import os
+
+    from subcort_tpu.config import load_options
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "configuration.cfg")
+    opts = load_options(path)
+    assert opts["data_parallel"] == 1
+    assert opts["prior_dtype"] == "uint16"
+    assert opts["probs_dtype"] == "float16"
+    assert opts.bool("use_fcn") is True
+    assert opts["reg_backend"] == "native"
+    import numpy as np
+    np.dtype(opts["prior_dtype"])  # must be a real dtype name
+    np.dtype(opts["probs_dtype"])
+
+
 def test_unknown_key_raises():
     o = Options()
     import pytest as _pytest

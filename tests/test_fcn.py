@@ -97,6 +97,15 @@ def test_fcn_raw_int16_slab_matches_host_normalized(params, rng):
                              engine="patch", chunk=64)
     np.testing.assert_array_equal(lp16, lp32)
 
+    # bfloat16 compute: device normalization must still happen in f32
+    # (host-path-exact) before the cast, so int16 and f32 inputs remain
+    # bit-identical to each other under bf16 too
+    lb16, _ = segment_volume(params, image16, atlas, centers, engine="fcn",
+                             compute_dtype="bfloat16")
+    lb32, _ = segment_volume(params, image32, atlas, centers, engine="fcn",
+                             compute_dtype="bfloat16")
+    np.testing.assert_array_equal(lb16, lb32)
+
 
 def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
     """Sparse candidates in a big bbox take the gathered-head path (the head
