@@ -36,8 +36,6 @@ import numpy as np  # noqa: E402
 
 from subcort_tpu.utils import enable_compilation_cache  # noqa: E402
 
-enable_compilation_cache()
-
 DICE_FLOOR = 0.85
 VALID_ACC_FLOOR = 0.90
 REFERENCE_VALID_ACC = 0.94998  # shipped history, best epoch 42
@@ -67,6 +65,8 @@ def run(n_train: int = 6, n_holdout: int = 2, shape=(96, 108, 90),
         max_epochs: int = 50, patience: int = 10, batch_size: int = 128,
         seed: int = 0, root: str = None):
     import jax
+
+    enable_compilation_cache()
 
     from subcort_tpu.config import Options
     from subcort_tpu.engine.data import build_training_index, list_training_subjects

@@ -37,10 +37,8 @@ from scipy import ndimage
 from subcort_tpu.config import Options
 from subcort_tpu.engine.postprocess import post_process_segmentation
 from subcort_tpu.io import NiftiImage, load_nii, save_nii
-from subcort_tpu.models import apply as model_apply
 from subcort_tpu.models.triplanar import DEFAULT_SPEC, TriPlanarSpec
-from subcort_tpu.ops import (gather_triplanar, get_mask_voxels,
-                             normalize_stats, pad_volume)
+from subcort_tpu.ops import get_mask_voxels, normalize_stats, pad_volume
 
 DEFAULT_CHUNK = 8192
 
@@ -63,7 +61,7 @@ def _forward_centers(params, padded_vol, centers, atlas_vecs,
                      probs_dtype: str = "float32",
                      compute_dtype: str = "float32"):
     """The fused device program: tri-planar gather -> forward, scanned over
-    ``chunk``-sized center blocks.
+    ``chunk``-sized center blocks (shared body: engine.forward).
 
     Only the ~60 MB padded T1 volume, the (N, 3) centers, and the (N, 15)
     prior vectors cross the host->device boundary — never patch tensors and
@@ -72,50 +70,12 @@ def _forward_centers(params, padded_vol, centers, atlas_vecs,
     link). Sentinel (out-of-range) center rows clamp harmlessly; the host
     drops their outputs.
     """
-    n_chunks = centers.shape[0] // chunk
-    cs = centers.reshape(n_chunks, chunk, 3)
-    av = atlas_vecs.reshape(n_chunks, chunk, -1)
-
-    if use_pallas:
-        # Pallas DMA gather: ~10x the XLA gather on TPU (one tile-aligned
-        # 2D DMA per patch/view from view-optimized layouts)
-        from subcort_tpu.ops.pallas_gather import (gather_triplanar_pallas,
-                                                   make_view_volumes)
-        view_vols = make_view_volumes(padded_vol)
-
-    def body(carry, inp):
-        c, at = inp
-        if use_pallas:
-            ax, co, sa = gather_triplanar_pallas(*view_vols, c)
-        else:
-            ax, co, sa = gather_triplanar(padded_vol, c)
-        if jnp.dtype(compute_dtype) != padded_vol.dtype:
-            # the volume stays f32 (the DMA kernel's rolls are 32-bit only,
-            # and f32-gather-then-cast matches the normalize-then-cast
-            # precision rule); patches+priors cast here for bf16 compute
-            cd = jnp.dtype(compute_dtype)
-            ax, co, sa, at = (ax.astype(cd), co.astype(cd), sa.astype(cd),
-                              at.astype(cd))
-        probs = model_apply(params, {"axial": ax, "coronal": co,
-                                     "sagittal": sa, "atlas": at}, spec=spec)
-        labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)
-        if want_probs:
-            # uint8 quantization deferred to after the scan (in-scan uint8
-            # block stacking is pathologically slow on TPU)
-            pr = (probs.astype(jnp.float32)
-                  if jnp.dtype(probs_dtype) == jnp.uint8
-                  else probs.astype(probs_dtype))
-        else:
-            pr = jnp.zeros((), jnp.float32)
-        return carry, (labels, pr)
-
-    _, (labels, probs) = jax.lax.scan(body, None, (cs, av))
-    labels = labels.reshape(-1)
-    if want_probs:
-        probs = probs.reshape(-1, probs.shape[-1])
-        if jnp.dtype(probs_dtype) == jnp.uint8:
-            probs = jnp.round(probs * 255.0).astype(jnp.uint8)
-    return labels, probs
+    from subcort_tpu.engine.forward import scan_forward_centers
+    return scan_forward_centers(params, padded_vol, centers, atlas_vecs,
+                                chunk, want_probs, spec=spec,
+                                use_pallas=use_pallas,
+                                probs_dtype=probs_dtype,
+                                compute_dtype=compute_dtype)
 
 
 @partial(jax.jit, static_argnames=("out_dtype",))
@@ -452,20 +412,31 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         return label_vol, prob_vol
 
     # ------------------------------------------------------------- patch path
-    # the padded volume stays float32 regardless of compute_dtype: the
-    # Pallas gather's VMEM rolls are 32-bit-only (Mosaic), and gathering in
-    # f32 then casting patches matches the normalize-then-cast precision
-    # rule; the per-chunk cast happens inside _forward_centers.
+    from subcort_tpu.ops.pallas_gather import BLOCK as _PBLOCK
+    use_pallas = (jax.devices()[0].platform == "tpu" and
+                  spec.patch_size == 32 and chunk % _PBLOCK == 0)
+
+    # with the Pallas gather the padded volume stays float32 regardless of
+    # compute_dtype: the DMA kernel's VMEM rolls are 32-bit-only (Mosaic).
+    # Gather-then-cast equals cast-then-gather per voxel (a gather does no
+    # arithmetic), so the XLA fallback ships the volume pre-cast to the
+    # compute dtype — half the host->device bytes on the wire-bound link
+    # for float-dtype scans in bf16 mode, identical results.
     mean, std = stats
     if image.dtype.kind in "iu" and image.dtype.itemsize <= 2:
         # raw narrow-integer wire (the usual int16 T1): ship the raw volume
         # and pad+normalize on device — identical (x - mean) * inv_std f32
-        # arithmetic, a quarter of the host->device bytes
+        # arithmetic, a quarter of the host->device bytes. Normalization
+        # runs in f32 and only then casts, so the wire dtype never changes
+        # numerics.
         padded = _pad_normalize_device(
             jnp.asarray(image),
-            jnp.asarray([mean, 1.0 / std], np.float32))
+            jnp.asarray([mean, 1.0 / std], np.float32),
+            out_dtype="float32" if use_pallas else jnp.dtype(dev_dtype).name)
     else:
         norm = (image.astype(np.float32) - np.float32(mean)) * np.float32(1.0 / std)
+        if not use_pallas:
+            norm = norm.astype(dev_dtype)
         padded = pad_volume(jnp.asarray(norm))
     vecs = _atlas_vectors_host(atlas, centers)
 
@@ -479,7 +450,7 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         labels, probs = predict_labels_sharded(
             params, padded, centers, vecs, mesh, chunk=chunk, spec=spec,
             want_probs=want_probs, probs_dtype=jnp.dtype(probs_dtype).name,
-            compute_dtype=jnp.dtype(dev_dtype).name)
+            compute_dtype=jnp.dtype(dev_dtype).name, use_pallas=use_pallas)
         label_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = labels
         if want_probs:
             prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]] = \
@@ -495,9 +466,6 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     centers_p = np.concatenate([centers, np.zeros((pad, 3), np.int32)], axis=0)
     vecs_p = np.concatenate([vecs, np.zeros((pad, 15), np.float32)], axis=0)
 
-    from subcort_tpu.ops.pallas_gather import BLOCK as _PBLOCK
-    use_pallas = (jax.devices()[0].platform == "tpu" and
-                  spec.patch_size == 32 and chunk % _PBLOCK == 0)
     labels, probs = _forward_centers(
         params, padded, jnp.asarray(centers_p), jnp.asarray(vecs_p),
         chunk, want_probs, spec, use_pallas=use_pallas,

@@ -491,10 +491,12 @@ class Trainer:
             # ---- validation
             vloss, vcorrect, vcount = 0.0, 0, 0
             # pad tails to a Pallas-BLOCK multiple — per *device* shard on a
-            # multi-device pallas mesh (also caps the distinct tail shapes
-            # jit sees) — masked out via count
+            # multi-device pallas mesh. Without Pallas, 16 is kept anyway:
+            # it caps the distinct tail shapes jit sees (each is a remote
+            # recompile on tunneled deployments) — masked out via count
             pallas_mesh = use_pallas and mesh_arg is not None
-            pad_mult = _PBLOCK * (ndev if pallas_mesh else 1)
+            pad_mult = (_PBLOCK * ndev if pallas_mesh
+                        else _PBLOCK if use_pallas else 16)
             for i in range(0, len(valid_idx), eval_bs):
                 sl = valid_idx[i:i + eval_bs]
                 m = len(sl)

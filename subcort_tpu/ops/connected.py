@@ -14,10 +14,17 @@ Reference counterpart: ``scipy.ndimage.label`` inside
   into a handful of shifted-pad ops; convergence needs O(component
   diameter) sweeps, so sweeps are batched (``sweeps_per_check``) between
   convergence checks to amortize the reduction.
+
+Correctness guarantee: ``_propagate_min`` returns a converged flag (the
+while_loop exits either at fixpoint or at the sweep cap), and
+:func:`label_components_device` falls back to scipy with a warning when a
+pathological (serpentine, diameter > sweeps_per_check*max_checks)
+component exceeds the cap — no input can silently mislabel.
 """
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 
 import numpy as np
@@ -37,6 +44,13 @@ def label_components_np(mask: np.ndarray):
 @partial(jax.jit, static_argnames=("sweeps_per_check", "max_checks"))
 def _propagate_min(mask: jnp.ndarray, sweeps_per_check: int = 32,
                    max_checks: int = 64):
+    """Min-label propagation to fixpoint (or the sweep cap).
+
+    Returns (labels, converged): labels = per-voxel component root (the
+    component's minimum linear index; -1 outside the mask), converged =
+    False iff the final check still observed a change — i.e. the result
+    may be unconverged and the caller must not trust it.
+    """
     shape = mask.shape
     n = mask.size
     init = jnp.where(
@@ -74,17 +88,40 @@ def _propagate_min(mask: jnp.ndarray, sweeps_per_check: int = 32,
         _, changed, it = state
         return jnp.logical_and(changed, it < max_checks)
 
-    lab, _, _ = lax.while_loop(cond, body, (init, jnp.bool_(True), jnp.int32(0)))
-    return jnp.where(mask, lab, -1)
+    lab, changed, _ = lax.while_loop(
+        cond, body, (init, jnp.bool_(True), jnp.int32(0)))
+    # `changed` True at exit means the cap fired mid-propagation
+    return jnp.where(mask, lab, -1), jnp.logical_not(changed)
 
 
-def label_components_device(mask: np.ndarray):
+def label_components_device(mask: np.ndarray, *, sweeps_per_check: int = 32,
+                            max_checks: int = 64):
     """TPU connected components; same contract as :func:`label_components_np`
-    (labels densified to 1..num in scan order of component minimum index)."""
-    mask_j = jnp.asarray(np.asarray(mask, bool))
-    roots = np.asarray(_propagate_min(mask_j))
-    out = np.zeros(mask.shape, np.int32)
-    uniq = np.unique(roots[roots >= 0])
-    for i, r in enumerate(uniq, start=1):
-        out[roots == r] = i
-    return out, int(uniq.size)
+    (labels densified to 1..num in scan order of component minimum index).
+
+    Falls back to scipy (with a warning) if propagation did not reach its
+    fixpoint within ``sweeps_per_check * max_checks`` sweeps — only
+    adversarial serpentine shapes get there; anatomical components have
+    diameters orders of magnitude below the default 2048-sweep budget.
+    """
+    mask_np = np.asarray(mask, bool)
+    roots_j, converged = _propagate_min(jnp.asarray(mask_np),
+                                        sweeps_per_check=sweeps_per_check,
+                                        max_checks=max_checks)
+    if not bool(converged):
+        warnings.warn(
+            "device connected-components hit the sweep cap "
+            f"({sweeps_per_check * max_checks} sweeps) before convergence; "
+            "falling back to scipy.ndimage.label")
+        return label_components_np(mask_np)
+    roots = np.asarray(roots_j)
+    # vectorized densify: unique roots (ascending == scan order of the
+    # component minimum) -> contiguous ids; inverse maps every voxel
+    uniq, inv = np.unique(roots, return_inverse=True)
+    has_bg = uniq.size and uniq[0] == -1
+    ids = np.arange(1 - int(has_bg), uniq.size + 1 - int(has_bg),
+                    dtype=np.int32)
+    if has_bg:
+        ids[0] = 0
+    out = ids[inv].reshape(mask_np.shape)
+    return out, int(uniq.size - int(has_bg))

@@ -41,7 +41,25 @@ HALF = 16
 # patches per grid program == DMA pipeline depth (BLOCK*3 copies in
 # flight). 16 measured best-or-tied on v5e at training batch sizes; env
 # override for hardware retuning without a code change.
-BLOCK = int(os.environ.get("SUBCORT_PALLAS_BLOCK", "16"))
+
+
+def _resolve_block() -> int:
+    raw = os.environ.get("SUBCORT_PALLAS_BLOCK", "16")
+    try:
+        val = int(raw)
+    except ValueError:
+        val = -1
+    if val <= 0:
+        import warnings
+
+        warnings.warn(
+            f"SUBCORT_PALLAS_BLOCK={raw!r} is not a positive integer; "
+            "falling back to 16")
+        return 16
+    return val
+
+
+BLOCK = _resolve_block()
 SUB = 40       # superblock sublanes: 8-aligned start + 32 window
 LANE = 256     # superblock lanes: 128-aligned start + 32 window
 
