@@ -116,6 +116,71 @@ def run_jax(ref_vol, template, cost):
     return grid, jacobian_stats(grid, ref_vol.shape), secs
 
 
+def make_affine_phantom(shape=(64, 72, 60), seed=0):
+    """Template + subject = template under a known 12-dof misalignment
+    (rotation + anisotropic scale + translation) and the structure masks in
+    subject space — the stage-1 problem (MNI template onto subject T1,
+    base.py:510-513)."""
+    from subcort_tpu.registration.atlas import make_synthetic_atlas
+
+    with tempfile.TemporaryDirectory() as d:
+        template, atlas = make_synthetic_atlas(d, shape=shape, seed=seed)
+    rz = np.deg2rad(7.0)
+    c, s = np.cos(rz), np.sin(rz)
+    M = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]]) @ np.diag(
+        [1.06, 0.94, 1.02])
+    center = np.asarray(shape) / 2.0
+    A = np.eye(4)
+    A[:3, :3] = M
+    A[:3, 3] = center - M @ center + np.array([2.5, -1.5, 1.0])
+    Ainv = np.linalg.inv(A)
+    subject = ndimage.affine_transform(template, Ainv[:3, :3],
+                                       offset=Ainv[:3, 3],
+                                       order=1).astype(np.float32)
+    gt_masks = np.stack(
+        [ndimage.affine_transform(atlas[..., s], Ainv[:3, :3],
+                                  offset=Ainv[:3, 3], order=1) > 0.5
+         for s in range(14)], -1)
+    return template, subject, atlas, gt_masks
+
+
+def run_jax_affine(results):
+    """Stage-1 row: the on-device 12-dof affine (registration/jax_affine)
+    recovering a known affine misalignment — Dice of affinely warped atlas
+    structures vs subject-space GT (VERDICT r3 next-2 done-criterion)."""
+    from subcort_tpu.registration import resample_through_affine
+    from subcort_tpu.registration.jax_affine import register_affine_jax
+
+    template, subject, atlas, gt_masks = make_affine_phantom()
+    t0 = time.time()
+    A = register_affine_jax(subject, template, cost="ssd")
+    secs = time.time() - t0
+    shape = subject.shape
+    dices = []
+    for s in range(14):
+        warped = np.asarray(resample_through_affine(
+            np.asarray(atlas[..., s], np.float32), np.eye(4), A, shape,
+            np.eye(4)))
+        p = warped > 0.5
+        g = gt_masks[..., s]
+        denom = int(p.sum()) + int(g.sum())
+        dices.append(2.0 * int((p & g).sum()) / denom if denom else 0.0)
+    dice = float(np.mean(dices))
+    rec = {
+        "metric": "registration_structure_dice",
+        "backend": "jax",
+        "cost": "affine_ssd",
+        "stage": "affine",
+        "value": round(dice, 4),
+        "unit": "dice",
+        "seconds": round(secs, 2),
+        "dice_floor": DICE_FLOOR,
+        "passed": bool(dice >= DICE_FLOOR),
+    }
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
 def main():
     from subcort_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
@@ -159,6 +224,7 @@ def main():
                 }
                 results.append(rec)
                 print(json.dumps(rec), flush=True)
+    run_jax_affine(results)
     assert all(r["passed"] for r in results), results
     return results
 

@@ -150,9 +150,16 @@ inline void bspline_weights(double t, double w[4]) {
 }
 
 // Control-point displacement grid over reference space.
+//
+// Spacing is PER AXIS in reference voxel units (NiftyReg's -sx is
+// millimetres per axis: on an anisotropic 1x1x3 mm scan a single scalar
+// would make the lattice 3x denser along z than requested). The
+// transform.nii sform encodes it column-wise: grid column j = ref column j
+// scaled by spacing[j] — the same contract registration/jax_backend.py
+// reads and registration/jax_ffd.py writes.
 struct CppGrid {
   int64_t ncx = 0, ncy = 0, ncz = 0;
-  double spacing = 0;               // in reference *voxel* units
+  double spacing[3] = {0, 0, 0};    // per axis, reference *voxel* units
   std::vector<float> disp;          // (ncx, ncy, ncz, 3) Fortran order
   Affine ref_affine = nifti::identity_affine();  // world placement of ref voxels
 
@@ -170,7 +177,8 @@ struct CppGrid {
   // Control point (i,j,k) sits at ref voxel ((i-1)*spacing, ...): one
   // extra control point beyond each edge for full cubic support.
   Vec3 displacement(double vx, double vy, double vz) const {
-    const double ux = vx / spacing, uy = vy / spacing, uz = vz / spacing;
+    const double ux = vx / spacing[0], uy = vy / spacing[1],
+                 uz = vz / spacing[2];
     const int64_t ix = (int64_t)std::floor(ux), iy = (int64_t)std::floor(uy),
                   iz = (int64_t)std::floor(uz);
     double wx[4], wy[4], wz[4];
@@ -191,20 +199,25 @@ struct CppGrid {
   }
 };
 
-// Build an empty grid covering a reference image with the given spacing
-// (reference voxel units).
-inline CppGrid make_grid(const Image& ref, double spacing_vox) {
+// Build an empty grid covering a reference image with the given per-axis
+// spacing (reference voxel units).
+inline CppGrid make_grid(const Image& ref, const double spacing_vox[3]) {
   CppGrid g;
-  g.spacing = spacing_vox;
+  for (int j = 0; j < 3; ++j) g.spacing[j] = spacing_vox[j];
   g.ref_affine = ref.affine;
   // control index i corresponds to ref voxel (i-1)*spacing; need coverage
   // of [0, n-1] with cubic support -> indices -1 .. ceil((n-1)/sp)+2, i.e.
   // count = ceil((n-1)/sp) + 4, with index shift of +1 built into eval.
-  g.ncx = (int64_t)std::ceil((ref.nx() - 1) / spacing_vox) + 4;
-  g.ncy = (int64_t)std::ceil((ref.ny() - 1) / spacing_vox) + 4;
-  g.ncz = (int64_t)std::ceil((ref.nz() - 1) / spacing_vox) + 4;
+  g.ncx = (int64_t)std::ceil((ref.nx() - 1) / spacing_vox[0]) + 4;
+  g.ncy = (int64_t)std::ceil((ref.ny() - 1) / spacing_vox[1]) + 4;
+  g.ncz = (int64_t)std::ceil((ref.nz() - 1) / spacing_vox[2]) + 4;
   g.disp.assign(g.ncx * g.ncy * g.ncz * 3, 0.0f);
   return g;
+}
+
+inline CppGrid make_grid(const Image& ref, double spacing_vox) {
+  const double sp[3] = {spacing_vox, spacing_vox, spacing_vox};
+  return make_grid(ref, sp);
 }
 
 // NOTE on indexing: displacement() uses get(ix + a, ...) where ix =
@@ -217,13 +230,15 @@ inline void save_cpp(const CppGrid& g, const std::string& path) {
   img.shape = {g.ncx, g.ncy, g.ncz, 1, 3};
   img.data.assign(g.disp.begin(), g.disp.end());
   // sform: control grid placement in world space = ref_affine composed
-  // with (voxel -> (i-1)*spacing) scaling.
+  // with (voxel -> (i-1)*spacing_j) scaling, per axis.
   img.affine = g.ref_affine;
   for (int i = 0; i < 3; ++i) {
-    for (int j = 0; j < 3; ++j) img.affine[i][j] = g.ref_affine[i][j] * g.spacing;
-    img.affine[i][3] = g.ref_affine[i][3] - g.spacing * (g.ref_affine[i][0] +
-                                                         g.ref_affine[i][1] +
-                                                         g.ref_affine[i][2]);
+    for (int j = 0; j < 3; ++j)
+      img.affine[i][j] = g.ref_affine[i][j] * g.spacing[j];
+    img.affine[i][3] = g.ref_affine[i][3] -
+                       (g.spacing[0] * g.ref_affine[i][0] +
+                        g.spacing[1] * g.ref_affine[i][1] +
+                        g.spacing[2] * g.ref_affine[i][2]);
   }
   // stash spacing where the Python side can read it back: pixdim via affine
   nifti::save(img, path, "SUBCORT_CPP");
@@ -239,14 +254,16 @@ inline CppGrid load_cpp(const std::string& path, const Image& ref) {
   g.ncz = img.shape[2];
   g.disp.assign(img.data.begin(), img.data.end());
   g.ref_affine = ref.affine;
-  // recover spacing: grid column norm / ref column norm
-  double gs = std::sqrt(img.affine[0][0] * img.affine[0][0] +
-                        img.affine[1][0] * img.affine[1][0] +
-                        img.affine[2][0] * img.affine[2][0]);
-  double rs = std::sqrt(ref.affine[0][0] * ref.affine[0][0] +
-                        ref.affine[1][0] * ref.affine[1][0] +
-                        ref.affine[2][0] * ref.affine[2][0]);
-  g.spacing = gs / (rs ? rs : 1.0);
+  // recover per-axis spacing: grid column norm / ref column norm
+  for (int j = 0; j < 3; ++j) {
+    double gs = std::sqrt(img.affine[0][j] * img.affine[0][j] +
+                          img.affine[1][j] * img.affine[1][j] +
+                          img.affine[2][j] * img.affine[2][j]);
+    double rs = std::sqrt(ref.affine[0][j] * ref.affine[0][j] +
+                          ref.affine[1][j] * ref.affine[1][j] +
+                          ref.affine[2][j] * ref.affine[2][j]);
+    g.spacing[j] = gs / (rs ? rs : 1.0);
+  }
   return g;
 }
 

@@ -116,9 +116,9 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
                     bool use_nmi) {
   const Affine flo_w2v = geom::inverse(flo.affine);
 
-  AxisWeights awx = axis_weights(ref.nx(), grid.spacing);
-  AxisWeights awy = axis_weights(ref.ny(), grid.spacing);
-  AxisWeights awz = axis_weights(ref.nz(), grid.spacing);
+  AxisWeights awx = axis_weights(ref.nx(), grid.spacing[0]);
+  AxisWeights awy = axis_weights(ref.ny(), grid.spacing[1]);
+  AxisWeights awz = axis_weights(ref.nz(), grid.spacing[2]);
 
   const int64_t ncx = grid.ncx, ncy = grid.ncy, ncz = grid.ncz;
   std::vector<double> g(ncx * ncy * ncz * 3);
@@ -477,8 +477,11 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
     double gmax = 0;
     for (double v : g) gmax = std::max(gmax, std::fabs(v));
     if (gmax < 1e-12) break;
-    // step: a fraction of the control spacing in world units
-    double step = step_scale * grid.spacing * vox_mm / gmax;
+    // step: a fraction of the (smallest per-axis) control spacing in world
+    // units
+    double sp_min = std::min({grid.spacing[0], grid.spacing[1],
+                              grid.spacing[2]});
+    double step = step_scale * sp_min * vox_mm / gmax;
     for (size_t i = 0; i < grid.disp.size(); ++i)
       grid.disp[i] = (float)(grid.disp[i] - step * g[i]);
   }
@@ -576,10 +579,16 @@ int main(int argc, char** argv) {
     Affine A = nifti::identity_affine();
     if (!aff_path.empty()) A = geom::load_affine_txt(aff_path);
 
-    double vox_mm = std::sqrt(ref0.affine[0][0] * ref0.affine[0][0] +
-                              ref0.affine[1][0] * ref0.affine[1][0] +
-                              ref0.affine[2][0] * ref0.affine[2][0]);
-    double spacing_vox = std::max(2.0, sx_mm / (vox_mm ? vox_mm : 1.0));
+    // per-axis control spacing: -sx is millimetres PER AXIS (NiftyReg
+    // semantics) — anisotropic voxels get anisotropic voxel-unit spacing
+    // so a 1x1x3 mm scan does not get a 3x denser lattice along z
+    double spacing_vox[3];
+    for (int j = 0; j < 3; ++j) {
+      double col_mm = std::sqrt(ref0.affine[0][j] * ref0.affine[0][j] +
+                                ref0.affine[1][j] * ref0.affine[1][j] +
+                                ref0.affine[2][j] * ref0.affine[2][j]);
+      spacing_vox[j] = std::max(2.0, sx_mm / (col_mm ? col_mm : 1.0));
+    }
 
     // full-resolution grid, affine baked into the initial control values
     CppGrid grid = geom::make_grid(ref0, spacing_vox);
@@ -587,10 +596,10 @@ int main(int argc, char** argv) {
     for (int64_t k = 0; k < grid.ncz; ++k)
       for (int64_t j = 0; j < grid.ncy; ++j)
         for (int64_t i = 0; i < grid.ncx; ++i) {
-          // control (i,j,k) sits at ref voxel ((i-1)*s, (j-1)*s, (k-1)*s)
-          Vec3 w = geom::apply(ref0.affine, {(i - 1) * grid.spacing,
-                                             (j - 1) * grid.spacing,
-                                             (k - 1) * grid.spacing});
+          // control (i,j,k) sits at ref voxel ((i-1)*sx, (j-1)*sy, (k-1)*sz)
+          Vec3 w = geom::apply(ref0.affine, {(i - 1) * grid.spacing[0],
+                                             (j - 1) * grid.spacing[1],
+                                             (k - 1) * grid.spacing[2]});
           Vec3 aw = geom::apply(A, w);
           grid.set(i, j, k, 0) = (float)(aw.x - w.x);
           grid.set(i, j, k, 1) = (float)(aw.y - w.y);
@@ -606,7 +615,7 @@ int main(int argc, char** argv) {
     Image ref1 = geom::downsample2(ref0);
     Image flo1 = geom::downsample2(flo0);
     CppGrid coarse = grid;
-    coarse.spacing = grid.spacing / 2.0;
+    for (int j = 0; j < 3; ++j) coarse.spacing[j] = grid.spacing[j] / 2.0;
     coarse.ref_affine = ref1.affine;
     optimize_level(ref1, flo1, coarse, d_affine, maxit, be, use_nmi);
     grid.disp = coarse.disp;

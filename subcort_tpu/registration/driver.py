@@ -81,10 +81,13 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
     """Register the MNI atlas into subject space; returns elapsed seconds
     (the reference returns seconds too and the caller prints minutes).
 
-    backend='native' runs the C++ tools end to end. backend='jax' keeps the
-    C++ block-matching affine (stage 1) but runs the deformable stage on
-    device (registration/jax_ffd.py) and warps all 15 prior channels with
-    the fused JAX resampler — same transform.nii contract either way.
+    backend='native' runs the C++ tools end to end. backend='jax' is fully
+    self-contained on device: a 12-dof gradient-descent affine
+    (registration/jax_affine.py) for stage 1, the differentiable B-spline
+    FFD (registration/jax_ffd.py) for stage 2, and the fused JAX resampler
+    for the 15 prior channels — same transf.txt / transform.nii contracts
+    either way, and no dependency on the native toolchain (reference
+    counterpart: base.py:510-521).
 
     similarity='ssd' (default) or 'nmi' selects the deformable-stage cost.
     The reference's reg_f3d is NiftyReg's NMI-driven FFD (base.py:516-521);
@@ -105,12 +108,31 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
     transf = os.path.join(tmp, "transf.txt")
     cpp = os.path.join(tmp, "transform.nii")
 
-    # stage 1: affine (block matching)
+    # stage 1: affine (native: block matching; jax: on-device 12-dof descent)
     if not os.path.exists(os.path.join(tmp, "rT1_template.nii.gz")):
-        _run([os.path.join(tools, "reg_aladin"),
-              "-ref", input_scan, "-flo", template,
-              "-aff", transf,
-              "-res", os.path.join(tmp, "rT1_template.nii.gz")])
+        if backend == "jax":
+            from subcort_tpu.registration.jax_affine import register_affine_jax
+            from subcort_tpu.registration.jax_backend import \
+                resample_through_affine
+
+            t1_img = load_nii(input_scan)
+            tmpl_img = load_nii(template)
+            A = register_affine_jax(
+                np.asarray(t1_img.data, np.float32),
+                np.asarray(tmpl_img.data, np.float32),
+                ref_affine=t1_img.affine, flo_affine=tmpl_img.affine,
+                cost=similarity)
+            np.savetxt(transf, A, fmt="%.10g")  # transf.txt contract
+            warped = resample_through_affine(
+                np.asarray(tmpl_img.data, np.float32), tmpl_img.affine,
+                A, t1_img.shape, t1_img.affine)
+            save_nii(NiftiImage(warped.astype(np.float32), t1_img.affine),
+                     os.path.join(tmp, "rT1_template.nii.gz"))
+        else:
+            _run([os.path.join(tools, "reg_aladin"),
+                  "-ref", input_scan, "-flo", template,
+                  "-aff", transf,
+                  "-res", os.path.join(tmp, "rT1_template.nii.gz")])
 
     # stage 2: deformable (B-spline FFD)
     if not os.path.exists(os.path.join(tmp, "rT1d_template.nii.gz")):
