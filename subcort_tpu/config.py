@@ -78,7 +78,7 @@ class Options(Mapping[str, Any]):
     bugcompat_postprocess_argmax: bool = False  # reproduce base.py:474 quirk (§2.3-7)
     dilate_crop_iters: int = 10     # base.py:369 binary_dilation(iterations=10)
     prior_dtype: str = "uint16"     # host->device prior wire: uint16 (fixed-point, most accurate+fastest) | float16 | uint8 | float32
-    probs_dtype: str = "float16"    # device->host probability readback dtype
+    probs_dtype: str = "uint8"      # device->host probability readback wire: uint8 (1/255-step fixed-point, half the bytes — labels are computed on device and unaffected) | float16 | float32 for full-precision prob maps
     cc_backend: str = "scipy"       # post-process connected components: scipy | device
     fcn_max_bbox_voxels: int = 6_000_000  # dense-evaluator sub-slab budget
     debug_nans: bool = False        # jax_debug_nans: raise on first NaN (debug only)
@@ -174,7 +174,7 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
             opt("tpu", "bugcompat_postprocess_argmax", False)),
         dilate_crop_iters=int(opt("tpu", "dilate_crop_iters", 10, int)),
         prior_dtype=opt("tpu", "prior_dtype", "uint16").strip(),
-        probs_dtype=opt("tpu", "probs_dtype", "float16").strip(),
+        probs_dtype=opt("tpu", "probs_dtype", "uint8").strip(),
         cc_backend=opt("tpu", "cc_backend", "scipy").strip(),
         fcn_max_bbox_voxels=int(opt("tpu", "fcn_max_bbox_voxels",
                                     6_000_000, int)),

@@ -357,7 +357,7 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
                    engine: str = "auto",
                    fcn_max_bbox_voxels: int = 6_000_000,
                    prior_dtype=np.uint16,
-                   probs_dtype=np.float16,
+                   probs_dtype=np.uint8,
                    compute_dtype: str = "float32",
                    devices=None):
     """Segment one T1 volume at the given centers.
@@ -400,11 +400,19 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
 
     if engine == "fcn":
         lo, dims = _bbox_of(centers, shape)
+        vox = int(np.prod(dims))
         if devices is not None and len(devices) > 1:
             # split finely enough that every device gets work
-            vox = int(np.prod(dims))
             fcn_max_bbox_voxels = min(fcn_max_bbox_voxels,
                                       max(1, -(-vox // len(devices))))
+        elif vox >= 200_000:
+            # pipeline the wire: >=2 slabs let slab i+1's upload overlap
+            # slab i's compute/readback. Measured on the tunnel (r4): equal
+            # or better min time AND immune to the link's minutes-long slow
+            # phases (single-slab prob runs degraded 0.6->3.8 s in a bad
+            # phase; split-2 stayed at 0.57-0.65 s). Tiny bboxes skip the
+            # split — the extra halo + dispatch outweighs the overlap.
+            fcn_max_bbox_voxels = min(fcn_max_bbox_voxels, -(-vox // 2))
         bboxes = list(_split_bbox(lo, dims, fcn_max_bbox_voxels))
         _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
                         label_vol, prob_vol, want_probs, spec, prior_dtype,

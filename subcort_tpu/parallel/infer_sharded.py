@@ -88,7 +88,7 @@ def predict_labels_sharded(params, padded_vol, centers: np.ndarray,
                            vecs: np.ndarray, mesh: Mesh, chunk: int = 2048,
                            spec: TriPlanarSpec = DEFAULT_SPEC,
                            want_probs: bool = False,
-                           probs_dtype: str = "float16",
+                           probs_dtype: str = "uint8",
                            compute_dtype: str = "float32",
                            use_pallas: bool = None,
                            pallas_interpret: bool = False):

@@ -114,7 +114,7 @@ def test_shipped_example_config_parses():
     opts = load_options(path)
     assert opts["data_parallel"] == 1
     assert opts["prior_dtype"] == "uint16"
-    assert opts["probs_dtype"] == "float16"
+    assert opts["probs_dtype"] == "uint8"
     assert opts.bool("use_fcn") is True
     assert opts["reg_backend"] == "native"
     import numpy as np

@@ -62,10 +62,10 @@ def test_segment_volume_matches_slow_path(params, phantom, rng):
     untouched = np.ones(image.shape, bool)
     untouched[centers[:, 0], centers[:, 1], centers[:, 2]] = False
     assert label_vol[untouched].sum() == 0
-    # prob volume: rows at centers sum to 1 (default readback is float16,
-    # so sums carry ~15x f16 rounding)
+    # prob volume: rows at centers sum to 1 (default readback is the uint8
+    # fixed-point wire, so sums carry up to 15 half-steps of 1/255)
     pr = prob_vol[centers[:, 0], centers[:, 1], centers[:, 2]]
-    np.testing.assert_allclose(pr.sum(1), 1.0, atol=2e-3)
+    np.testing.assert_allclose(pr.sum(1), 1.0, atol=15 * 0.5 / 255)
     # and exactly with a float32 readback
     _, pv32 = segment_volume(params, image, atlas, centers,
                              want_probs=True, chunk=128,
@@ -151,7 +151,8 @@ def test_segment_volume_fcn_matches_patch_engine(params, phantom, rng):
     image, atlas, mask = phantom
     centers = np.stack(np.nonzero(mask), axis=1).astype(np.int32)
     lv_p, pv_p = segment_volume(params, image, atlas, centers,
-                                want_probs=True, chunk=256, engine="patch")
+                                want_probs=True, chunk=256, engine="patch",
+                                probs_dtype=np.float32)
     lv_f, pv_f = segment_volume(params, image, atlas, centers,
                                 want_probs=True, engine="fcn",
                                 prior_dtype=np.float32,
