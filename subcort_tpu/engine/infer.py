@@ -405,14 +405,23 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             # split finely enough that every device gets work
             fcn_max_bbox_voxels = min(fcn_max_bbox_voxels,
                                       max(1, -(-vox // len(devices))))
-        elif vox >= 200_000:
+        else:
             # pipeline the wire: >=2 slabs let slab i+1's upload overlap
             # slab i's compute/readback. Measured on the tunnel (r4): equal
             # or better min time AND immune to the link's minutes-long slow
             # phases (single-slab prob runs degraded 0.6->3.8 s in a bad
-            # phase; split-2 stayed at 0.57-0.65 s). Tiny bboxes skip the
-            # split — the extra halo + dispatch outweighs the overlap.
-            fcn_max_bbox_voxels = min(fcn_max_bbox_voxels, -(-vox // 2))
+            # phase; split-2 stayed at 0.57-0.65 s). Gated on estimated
+            # wire bytes, not voxels: small-wire runs (e.g. the bf16+uint8
+            # fast profile at ~6 MB) lose more to the extra halo + dispatch
+            # than the overlap buys (measured +0.04 s).
+            m_rows = min(_round_up_pow2(n), vox)
+            wire = (vox * (2 if image.dtype.kind in "iu" and
+                           image.dtype.itemsize <= 2 else 4)
+                    + m_rows * 15 * np.dtype(prior_dtype).itemsize
+                    + (m_rows * 15 * np.dtype(probs_dtype).itemsize
+                       if want_probs else 0))
+            if wire >= 8_000_000:
+                fcn_max_bbox_voxels = min(fcn_max_bbox_voxels, -(-vox // 2))
         bboxes = list(_split_bbox(lo, dims, fcn_max_bbox_voxels))
         _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
                         label_vol, prob_vol, want_probs, spec, prior_dtype,

@@ -60,6 +60,10 @@ def _sharded_program(mesh: Mesh, chunk: int, want_probs: bool,
                      compute_dtype: str = "float32",
                      use_pallas: bool = False,
                      pallas_interpret: bool = False):
+    # probs_dtype is dead when probs aren't requested — canonicalize it so a
+    # caller-side default change can't silently fork the program cache
+    if not want_probs:
+        probs_dtype = "uint8"
     key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
            chunk, want_probs, probs_dtype, spec, compute_dtype,
            use_pallas, pallas_interpret)
