@@ -176,10 +176,12 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
     Returns (slab, prior vecs in prior_dtype, cs, gather_idx, norm):
     dense mode (``centers=None``): vecs covers every bbox voxel in C-order,
     cs/gather_idx are None. Sparse mode: cs = the candidate centers inside
-    this bbox, gather_idx = their (pow2-padded) linear bbox indices, vecs
-    only their priors — the device gathers branch features at gather_idx so
-    the head runs ~5x fewer voxels and the prior/prob transfers shrink by
-    the same factor.
+    this bbox (permuted so non-background priors form a prefix), gather_idx
+    = their (pow2-padded) linear bbox indices, vecs only the non-bg prefix
+    of their priors (own pow2 rung; the device appends the constant bg rows)
+    — the device gathers branch features at gather_idx so the head runs ~5x
+    fewer voxels, and the prior wire shrinks further by the bg fraction of
+    the candidate shell.
 
     For narrow-integer scans (the usual int16 T1 NIfTI) the slab ships RAW
     and ``norm`` = (scale(2,), lo(3,), hi(3,)) tells the device to apply
@@ -225,10 +227,34 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
             rel = cs - np.asarray(lo)[None, :]
             lin = ((rel[:, 0].astype(np.int64) * by + rel[:, 1]) * bz
                    + rel[:, 2]).astype(np.int32)
-            vecs = _atlas_vectors_host(atlas, cs)
+            vecs = _quantize_priors(_atlas_vectors_host(atlas, cs),
+                                    prior_dtype)
+            # Compacted prior wire (lossless): rows equal to the background
+            # pattern e_{C-1} — the bg fix-up rows and pure-background atlas
+            # voxels, typically most of the dilate-10 candidate shell — need
+            # not cross the wire. The candidate-row order is arbitrary
+            # (labels/probs scatter through ``cs``), so permute non-bg rows
+            # to a prefix, ship only the prefix padded to its own pow2 rung,
+            # and let fcn_forward_slab append the constant bg rows on device
+            # (bit-exact reconstruction; pinned by tests/test_fcn.py).
+            pat = np.zeros((1, vecs.shape[1]), np.float32)
+            pat[0, -1] = 1.0
+            pat = _quantize_priors(pat, prior_dtype)[0]
+            is_bg = (vecs == pat).all(axis=1)
+            d_pad = _round_up_pow2(int((~is_bg).sum()))
+            if d_pad < m_pad:
+                perm = np.argsort(is_bg, kind="stable")  # non-bg first
+                cs = cs[perm]
+                lin = lin[perm]
+                vecs = vecs[perm][:min(d_pad, m)]
+                if len(vecs) < d_pad:
+                    vecs = np.concatenate(
+                        [vecs, np.broadcast_to(pat, (d_pad - len(vecs),
+                                                     len(pat)))], axis=0)
+            else:
+                vecs = np.pad(vecs, ((0, m_pad - m), (0, 0)))
             lin = np.pad(lin, (0, m_pad - m))
-            vecs = np.pad(vecs, ((0, m_pad - m), (0, 0)))
-            return slab, _quantize_priors(vecs, prior_dtype), cs, lin, norm
+            return slab, vecs, cs, lin, norm
         # candidates ~fill the bbox: dense head is cheaper than a padded
         # gather — fall through
 
@@ -415,9 +441,20 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             # fast profile at ~6 MB) lose more to the extra halo + dispatch
             # than the overlap buys (measured +0.04 s).
             m_rows = min(_round_up_pow2(n), vox)
+            # prior rows that are pure background never cross the wire
+            # (_fcn_slab_inputs compacts them); estimate the shipped
+            # fraction from a stride-64 candidate subsample (~3k rows),
+            # with 1.5x slack for the prefix's own pow2 padding
+            sub = centers[::64]
+            sv = atlas[sub[:, 0], sub[:, 1], sub[:, 2]]
+            # bg after fix-up = exactly e14 OR all-zero (fixed up to e14)
+            dense_frac = float((sv[:, :14].any(axis=1)
+                                | ((sv[:, 14] != 1.0)
+                                   & sv.any(axis=1))).mean())
+            prior_rows = min(m_rows, int(m_rows * dense_frac * 1.5) + 1)
             wire = (vox * (2 if image.dtype.kind in "iu" and
                            image.dtype.itemsize <= 2 else 4)
-                    + m_rows * 15 * np.dtype(prior_dtype).itemsize
+                    + prior_rows * 15 * np.dtype(prior_dtype).itemsize
                     + (m_rows * 15 * np.dtype(probs_dtype).itemsize
                        if want_probs else 0))
             if wire >= 8_000_000:

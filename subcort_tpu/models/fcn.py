@@ -118,9 +118,12 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
         outside [lo, hi) (outside the source volume) — bit-exact with the
         host-normalized path.
       atlas_vecs: (M, C) prior vectors, background-fixed on host; any float
-        dtype (float16 halves the transfer; cast up here). M = bx*by*bz in
-        C-order (x-major) when ``gather_idx`` is None, else
-        ``gather_idx.shape[0]`` (candidate voxels only).
+        dtype (float16 halves the transfer; cast up here) or fixed-point
+        uint8/uint16. M = bx*by*bz in C-order (x-major) when ``gather_idx``
+        is None, else ``gather_idx.shape[0]`` (candidate voxels only) — or
+        FEWER rows, in which case the host compacted the wire (non-bg rows
+        first) and the missing rows are reconstructed as the background
+        pattern e_{C-1} below.
       gather_idx: optional (M,) int32 linear indices into the bbox voxel
         axis (C-order). When given, the branch features are gathered on
         device and the head MLP runs ONLY at those voxels — candidate sets
@@ -152,6 +155,24 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     bx = slab.shape[0] - RF
     by = slab.shape[1] - RF
     bz = slab.shape[2] - RF
+    if gather_idx is not None and atlas_vecs.shape[0] < gather_idx.shape[0]:
+        # Compacted prior wire (lossless): the host permuted the candidate
+        # axis so every non-background prior forms a prefix, and shipped only
+        # that (pow2-padded) prefix — each remaining row is exactly the
+        # background pattern e_{C-1} (the per-sample bg fix-up of
+        # base.py:392-394 / pure-background atlas voxels, typically most of
+        # the dilated candidate shell). Appending the constant rows here is
+        # free; shipping them costs ~30 bytes/row on the slow host->device
+        # link. Bit-exact: quantize(e14) == this pattern in every wire dtype.
+        n_bg = gather_idx.shape[0] - atlas_vecs.shape[0]
+        c = atlas_vecs.shape[1]
+        one = {jnp.dtype(jnp.uint8): 255,
+               jnp.dtype(jnp.uint16): 65535}.get(
+                   jnp.dtype(atlas_vecs.dtype), 1)
+        bg = jnp.concatenate(
+            [jnp.zeros((n_bg, c - 1), atlas_vecs.dtype),
+             jnp.full((n_bg, 1), one, atlas_vecs.dtype)], axis=1)
+        atlas_vecs = jnp.concatenate([atlas_vecs, bg], axis=0)
     if atlas_vecs.dtype == jnp.uint8:  # quantized prior transfer
         atlas_vecs = atlas_vecs.astype(slab.dtype) * (1.0 / 255.0)
     elif atlas_vecs.dtype == jnp.uint16:

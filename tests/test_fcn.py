@@ -139,6 +139,100 @@ def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
     np.testing.assert_allclose(pv_f[sel], pv_p[sel], atol=2e-4, rtol=1e-3)
 
 
+def test_fcn_prior_wire_compaction_contract(params, rng):
+    """Background-heavy candidate shells ship only the non-bg prior prefix
+    (its own pow2 rung); the device appends the constant e14 rows. Pins the
+    host-side wire contract: reconstructing the full row set from the wire
+    must equal the uncompacted quantized priors, row-aligned with cs."""
+    from subcort_tpu.engine.infer import (_atlas_vectors_host,
+                                          _fcn_slab_inputs, _quantize_priors,
+                                          _round_up_pow2)
+    from subcort_tpu.models.triplanar import DEFAULT_SPEC
+    from subcort_tpu.ops import normalize_stats
+
+    shape = (40, 40, 24)
+    image = (rng.random(shape) * 800 + 100).astype(np.float32)
+    atlas = np.zeros(shape + (15,), np.float32)
+    atlas[..., 14] = 1.0                       # pure background...
+    pri = rng.random((8, 8, 6, 15)).astype(np.float32)
+    atlas[10:18, 10:18, 6:12] = pri / pri.sum(-1, keepdims=True)  # dense blob
+    atlas[0:2] = 0.0                           # all-zero rows: bg after fix-up
+
+    centers = np.unique(np.stack([rng.integers(0, s, 14000)
+                                  for s in shape], 1).astype(np.int32), axis=0)
+    m = len(centers)
+    assert m > 8192                # needs a pow2 gap for compaction to open
+
+    _, vecs, cs, lin, _ = _fcn_slab_inputs(
+        image, normalize_stats(image), atlas, np.zeros(3, np.int32), shape,
+        shape, DEFAULT_SPEC, np.uint16, centers)
+    m_pad = _round_up_pow2(m)
+    assert lin is not None and len(lin) == m_pad
+    assert vecs.shape[0] < m_pad   # the wire actually shrank
+    pat = np.zeros((1, 15), np.float32)
+    pat[0, 14] = 1.0
+    pat = _quantize_priors(pat, np.uint16)[0]
+    full = np.concatenate(
+        [vecs, np.broadcast_to(pat, (m_pad - len(vecs), 15))], axis=0)
+    want = _quantize_priors(_atlas_vectors_host(atlas, cs), np.uint16)
+    np.testing.assert_array_equal(full[:m], want)
+
+
+def test_fcn_forward_slab_bg_reconstruction_bitexact(params, rng):
+    """fcn_forward_slab with a compacted prior prefix must produce outputs
+    bit-identical to the same call with the full row set (for every wire
+    dtype): the appended bg rows are exactly the e_{C-1} pattern."""
+    from subcort_tpu.models.fcn import RF, fcn_forward_slab
+
+    bx, by, bz = 10, 8, 6
+    slab = (rng.random((bx + RF, by + RF, bz + RF)) * 4 - 2).astype(np.float32)
+    m_pad, d_pad = 256, 64
+    idx = rng.integers(0, bx * by * bz, m_pad).astype(np.int32)
+    for dtype, one in ((np.uint16, 65535), (np.uint8, 255),
+                       (np.float32, 1.0), (np.float16, 1.0)):
+        full = np.zeros((m_pad, 15), dtype)
+        full[:, 14] = one
+        dense = rng.random((d_pad, 15)).astype(np.float32)
+        dense /= dense.sum(1, keepdims=True)
+        full[:d_pad] = (np.round(dense * one).astype(dtype)
+                        if np.dtype(dtype).kind == "u"
+                        else dense.astype(dtype))
+        lab_full, pr_full = fcn_forward_slab(
+            params, jnp.asarray(slab), jnp.asarray(full), True,
+            gather_idx=jnp.asarray(idx))
+        lab_pre, pr_pre = fcn_forward_slab(
+            params, jnp.asarray(slab), jnp.asarray(full[:d_pad]), True,
+            gather_idx=jnp.asarray(idx))
+        np.testing.assert_array_equal(np.asarray(lab_full), np.asarray(lab_pre))
+        np.testing.assert_array_equal(np.asarray(pr_full), np.asarray(pr_pre))
+
+
+def test_fcn_compacted_wire_matches_patch_engine(params, rng):
+    """End-to-end: a bg-heavy scan (compaction active, previous test's
+    geometry) through segment_volume must stay label-identical to the patch
+    engine and prob-close (uint16 prior wire is label-identical by design)."""
+    from subcort_tpu.engine import segment_volume
+
+    shape = (40, 40, 24)
+    image = (rng.random(shape) * 800 + 100).astype(np.float32)
+    atlas = np.zeros(shape + (15,), np.float32)
+    atlas[..., 14] = 1.0
+    pri = rng.random((8, 8, 6, 15)).astype(np.float32)
+    atlas[10:18, 10:18, 6:12] = pri / pri.sum(-1, keepdims=True)
+    centers = np.unique(np.stack([rng.integers(0, s, 14000)
+                                  for s in shape], 1).astype(np.int32), axis=0)
+    assert len(centers) > 8192
+    lv_f, pv_f = segment_volume(params, image, atlas, centers,
+                                want_probs=True, engine="fcn",
+                                probs_dtype=np.float32)
+    lv_p, pv_p = segment_volume(params, image, atlas, centers,
+                                want_probs=True, engine="patch", chunk=2048,
+                                probs_dtype=np.float32)
+    np.testing.assert_array_equal(lv_f, lv_p)
+    sel = centers[:, 0], centers[:, 1], centers[:, 2]
+    np.testing.assert_allclose(pv_f[sel], pv_p[sel], atol=5e-4, rtol=1e-3)
+
+
 def test_uint8_probs_readback(params, rng):
     """probs_dtype='uint8' quantizes the readback to 1/255 steps on device;
     labels must be unchanged and dequantized probs within half a step."""
