@@ -80,6 +80,7 @@ class Options(Mapping[str, Any]):
     prior_dtype: str = "uint16"     # host->device prior wire: uint16 (fixed-point, most accurate+fastest) | float16 | uint8 | float32
     probs_dtype: str = "uint8"      # device->host probability readback wire: uint8 (1/255-step fixed-point, half the bytes — labels are computed on device and unaffected) | float16 | float32 for full-precision prob maps
     cc_backend: str = "scipy"       # post-process connected components: scipy | device
+    folder_pipeline: bool = False   # pipelined folder sweep: prefetch the next scan's host prep + async writeback (bit-identical results; wins only on multi-core hosts — on a 1-core host the prefetch thread contends with the wire feed and LOSES ~2x, measured)
     fcn_max_bbox_voxels: int = 6_000_000  # dense-evaluator sub-slab budget
     debug_nans: bool = False        # jax_debug_nans: raise on first NaN (debug only)
     reg_backend: str = "native"     # deformable registration: native (C++) | jax (on-device)
@@ -176,6 +177,7 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
         prior_dtype=opt("tpu", "prior_dtype", "uint16").strip(),
         probs_dtype=opt("tpu", "probs_dtype", "uint8").strip(),
         cc_backend=opt("tpu", "cc_backend", "scipy").strip(),
+        folder_pipeline=_as_bool(opt("tpu", "folder_pipeline", False)),
         fcn_max_bbox_voxels=int(opt("tpu", "fcn_max_bbox_voxels",
                                     6_000_000, int)),
         debug_nans=_as_bool(opt("tpu", "debug_nans", False)),

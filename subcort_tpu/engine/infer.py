@@ -551,16 +551,12 @@ def _data_parallel_devices(options: Options):
     return avail[:dp] if dp > 1 else None
 
 
-def test_scan(params, scan_path: str, options: Options,
-              register_fn=None, spec: TriPlanarSpec = DEFAULT_SPEC) -> float:
-    """Full per-scan pipeline with the reference's file contract
-    (base.py:401-458). Returns elapsed minutes, like the reference.
-
-    ``register_fn``: callable(scan_path) ensuring the per-subject ``tmp/``
-    prior volumes exist (the registration subsystem); defaults to the
-    cache-only behavior — raising if priors are missing.
-    """
-    s_time = time.time()
+def _load_scan_inputs(scan_path: str, options: Options, register_fn=None):
+    """Host-side per-scan prep: ensure priors exist (registering on a cache
+    miss, base.py:361-365), load the T1 + prior volumes, and enumerate
+    candidate voxels. Pure host/subprocess work with no device calls — safe
+    to run ahead of time (``segment_folder`` prefetches the next scan's
+    inputs here while the device segments the current one)."""
     image_dir, _ = os.path.split(scan_path)
     tmp = os.path.join(image_dir, "tmp")
     prior_path = os.path.join(tmp, "MNI_sub_probabilities.nii.gz")
@@ -577,8 +573,32 @@ def test_scan(params, scan_path: str, options: Options,
     image = np.asarray(t1.data)
     atlas = load_nii(prior_path).data
     atlas_mask = load_nii(mask_path).data if os.path.exists(mask_path) else None
-
     centers = candidate_centers(image, options, atlas_mask)
+    return t1, image, atlas, centers
+
+
+def test_scan(params, scan_path: str, options: Options,
+              register_fn=None, spec: TriPlanarSpec = DEFAULT_SPEC,
+              _inputs=None, _writer=None) -> float:
+    """Full per-scan pipeline with the reference's file contract
+    (base.py:401-458). Returns elapsed minutes, like the reference.
+
+    ``register_fn``: callable(scan_path) ensuring the per-subject ``tmp/``
+    prior volumes exist (the registration subsystem); defaults to the
+    cache-only behavior — raising if priors are missing.
+
+    ``_inputs``/``_writer`` (internal, used by ``segment_folder``'s
+    pipelined sweep): pre-loaded ``_load_scan_inputs`` result, and an
+    executor to run post-processing + file writes on so they overlap the
+    next scan's device work. With ``_writer`` the returned minutes cover
+    load+segment only; output files are guaranteed on disk once the
+    caller drains the writer.
+    """
+    s_time = time.time()
+    image_dir, _ = os.path.split(scan_path)
+    t1, image, atlas, centers = (
+        _inputs if _inputs is not None
+        else _load_scan_inputs(scan_path, options, register_fn))
     if options.bool("debug"):
         print("    -->  num of samples to test:", len(centers))
 
@@ -597,24 +617,30 @@ def test_scan(params, scan_path: str, options: Options,
         compute_dtype=options["compute_dtype"],
         devices=_data_parallel_devices(options))
 
-    if want_probs:
-        # asarray, not astype: prob_vol is already float32 — avoid a no-op
-        # ~430 MB copy before the (streamed, level-1 gzip) write
-        save_nii(NiftiImage(np.asarray(prob_vol, np.float32), t1.affine),
-                 os.path.join(image_dir, "out_subcortical_prob.nii.gz"))
-    if options.bool("post_process"):
-        filtered = post_process_segmentation(
-            image_dir, label_vol,
-            bugcompat_argmax=options["bugcompat_postprocess_argmax"],
-            cc_backend=options["cc_backend"])
-        save_nii(NiftiImage(filtered.astype(image.dtype if image.dtype.kind in "iu" else np.uint8),
-                            t1.affine),
-                 os.path.join(image_dir, "out_subcortical_seg_prec.nii.gz"))
+    def write_outputs():
+        if want_probs:
+            # asarray, not astype: prob_vol is already float32 — avoid a
+            # no-op ~430 MB copy before the (streamed, level-1 gzip) write
+            save_nii(NiftiImage(np.asarray(prob_vol, np.float32), t1.affine),
+                     os.path.join(image_dir, "out_subcortical_prob.nii.gz"))
+        if options.bool("post_process"):
+            filtered = post_process_segmentation(
+                image_dir, label_vol,
+                bugcompat_argmax=options["bugcompat_postprocess_argmax"],
+                cc_backend=options["cc_backend"])
+            save_nii(NiftiImage(filtered.astype(image.dtype if image.dtype.kind in "iu" else np.uint8),
+                                t1.affine),
+                     os.path.join(image_dir, "out_subcortical_seg_prec.nii.gz"))
+        else:
+            save_nii(NiftiImage(label_vol.astype(np.uint8), t1.affine),
+                     os.path.join(image_dir, "out_subcortical_rawseg.nii.gz"))
+        if options["net_verbose"]:
+            stats.emit()  # one JSON line: wall_seconds, voxels_per_sec, ...
+
+    if _writer is None:
+        write_outputs()
     else:
-        save_nii(NiftiImage(label_vol.astype(np.uint8), t1.affine),
-                 os.path.join(image_dir, "out_subcortical_rawseg.nii.gz"))
-    if options["net_verbose"]:
-        stats.emit()  # one JSON line: wall_seconds, voxels_per_sec, ...
+        _writer.submit(write_outputs)
     return (time.time() - s_time) / 60.0
 
 
@@ -653,6 +679,21 @@ class SegmentationEngine:
         """Batch inference over the configured inference folder
         (train_model.py:68-78 flow). Returns {subject: minutes}.
 
+        With ``[tpu] folder_pipeline`` on, the sweep is pipelined: while
+        the device segments scan *i*, one IO thread prefetches scan
+        *i+1*'s host prep (registration on cache miss, NIfTI gunzip,
+        candidate enumeration) and another drains scan *i-1*'s
+        post-processing and gzip writeback — the per-scan host costs, which
+        otherwise serialize with device compute, overlap it instead. All
+        outputs are on disk (and any write error raised) before this
+        returns; results are identical to the serial sweep
+        (tests/test_engine.py pins this). Default OFF: pipelining only
+        pays when spare host cores exist. On a single-core host the
+        prefetch/writeback threads contend with the thread feeding the
+        wire-bound device link and the sweep measures ~2x slower
+        (interleaved A/B on the v5e tunnel, 3 MNI-sized scans: pipelined
+        25-43 s vs serial 13-15 s).
+
         Under a multi-process launch (jax.distributed initialized, e.g. via
         ``SUBCORT_NUM_PROCESSES`` + parallel.distributed.initialize), each
         host segments its strided slice of the subject list — subject-level
@@ -665,8 +706,44 @@ class SegmentationEngine:
         else:
             pairs = list(zip(t1_names, subjects))
         times = {}
-        for path, sub in pairs:
-            if self.options.bool("debug"):
-                print("--> testing scan", sub)
-            times[sub] = self.segment_scan(path)
+        if not self.options.bool("folder_pipeline") or len(pairs) <= 1:
+            for path, sub in pairs:
+                if self.options.bool("debug"):
+                    print("--> testing scan", sub)
+                times[sub] = self.segment_scan(path)
+            return times
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        class _Writer:
+            """Collects write futures so errors surface at drain time."""
+
+            def __init__(self, pool):
+                self.pool = pool
+                self.futures = []
+
+            def submit(self, fn):
+                self.futures.append(self.pool.submit(fn))
+
+            def drain(self):
+                for f in self.futures:
+                    f.result()
+
+        # separate single-thread pools: a slow writeback (e.g. a 430 MB
+        # prob-map gzip) must not starve the prefetch of the next scan
+        with ThreadPoolExecutor(1) as loader, ThreadPoolExecutor(1) as wpool:
+            writer = _Writer(wpool)
+            nxt = loader.submit(_load_scan_inputs, pairs[0][0], self.options,
+                                self.register_fn)
+            for i, (path, sub) in enumerate(pairs):
+                inputs = nxt.result()
+                if i + 1 < len(pairs):
+                    nxt = loader.submit(_load_scan_inputs, pairs[i + 1][0],
+                                        self.options, self.register_fn)
+                if self.options.bool("debug"):
+                    print("--> testing scan", sub)
+                times[sub] = test_scan(self.params, path, self.options,
+                                       spec=self.spec, _inputs=inputs,
+                                       _writer=writer)
+            writer.drain()
         return times

@@ -145,6 +145,48 @@ def test_engine_folder_sweep(params, phantom, tmp_path):
         assert os.path.exists(str(tmp_path / s / "out_subcortical_rawseg.nii.gz"))
 
 
+def test_folder_sweep_pipelined_matches_serial(params, phantom, tmp_path):
+    """The pipelined sweep (prefetch + async writeback, folder_pipeline=True
+    default) must write bit-identical outputs to the serial sweep."""
+    image, atlas, mask = phantom
+    for mode in ("pipe", "serial"):
+        root = tmp_path / mode
+        root.mkdir()
+        for s in ("s1", "s2", "s3"):
+            _write_subject(root, s, image, atlas, mask)
+        opts = Options(test_folder=str(root), post_process=True,
+                       out_probabilities=True, crop=True, debug=False,
+                       net_verbose=0, folder_pipeline=(mode == "pipe"))
+        times = SegmentationEngine(params, opts).segment_folder()
+        assert set(times) == {"s1", "s2", "s3"}
+    for s in ("s1", "s2", "s3"):
+        for f in ("out_subcortical_prob.nii.gz",
+                  "out_subcortical_seg_prec.nii.gz"):
+            a = load_nii(str(tmp_path / "pipe" / s / f)).data
+            b = load_nii(str(tmp_path / "serial" / s / f)).data
+            np.testing.assert_array_equal(a, b)
+
+
+def test_folder_sweep_pipelined_surfaces_write_errors(params, phantom,
+                                                      tmp_path, monkeypatch):
+    """A failed async writeback must raise from segment_folder, not vanish
+    in the writer thread."""
+    image, atlas, mask = phantom
+    for s in ("s1", "s2"):
+        _write_subject(tmp_path, s, image, atlas, mask)
+    opts = Options(test_folder=str(tmp_path), post_process=False,
+                   out_probabilities=False, crop=True, debug=False,
+                   net_verbose=0, folder_pipeline=True)
+    import subcort_tpu.engine.infer as inf
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(inf, "save_nii", boom)
+    with pytest.raises(OSError, match="disk full"):
+        SegmentationEngine(params, opts).segment_folder()
+
+
 def test_segment_volume_fcn_matches_patch_engine(params, phantom, rng):
     """The dense (à-trous) engine and the patch engine must agree exactly
     on labels and probabilities at every candidate voxel."""
