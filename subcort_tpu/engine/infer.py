@@ -166,6 +166,17 @@ def _round_up_pow2(m: int, floor: int = 8192) -> int:
     return max(floor, 1 << int(np.ceil(np.log2(max(m, 1)))))
 
 
+def _bg_prior_pattern(n_classes: int, prior_dtype) -> np.ndarray:
+    """The quantized background prior row e_{C-1} — the single source of
+    truth for 'this row never crosses the wire'. Used by the compaction in
+    ``_fcn_slab_inputs`` (rows == pattern are rebuilt on device) and by
+    ``segment_volume``'s wire-byte gate (estimating shipped prior rows);
+    the device-side twin is the constant append in ``fcn_forward_slab``."""
+    pat = np.zeros((1, n_classes), np.float32)
+    pat[0, -1] = 1.0
+    return _quantize_priors(pat, prior_dtype)[0]
+
+
 def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
                      centers=None):
     """Host prep for one sub-bbox. ``image`` is the RAW volume; ``stats`` is
@@ -237,9 +248,7 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
             # to a prefix, ship only the prefix padded to its own pow2 rung,
             # and let fcn_forward_slab append the constant bg rows on device
             # (bit-exact reconstruction; pinned by tests/test_fcn.py).
-            pat = np.zeros((1, vecs.shape[1]), np.float32)
-            pat[0, -1] = 1.0
-            pat = _quantize_priors(pat, prior_dtype)[0]
+            pat = _bg_prior_pattern(vecs.shape[1], prior_dtype)
             is_bg = (vecs == pat).all(axis=1)
             d_pad = _round_up_pow2(int((~is_bg).sum()))
             if d_pad < m_pad:
@@ -405,6 +414,13 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     centers = np.asarray(centers, np.int32)
     n = centers.shape[0]
     atlas = np.asarray(atlas, np.float32)
+    if not want_probs:
+        # probs_dtype is dead without probs but stays a static arg of every
+        # jitted program below — canonicalize so labels-only calls with
+        # different configured probs_dtypes share one (minutes-long, remote)
+        # compile instead of forking the jit caches (infer_sharded applies
+        # the same rule for its program cache).
+        probs_dtype = np.uint8
     dev_dtype = (jnp.bfloat16 if compute_dtype in ("bfloat16", "bf16")
                  else jnp.float32)
     if dev_dtype == jnp.bfloat16:
@@ -443,17 +459,23 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             m_rows = min(_round_up_pow2(n), vox)
             # prior rows that are pure background never cross the wire
             # (_fcn_slab_inputs compacts them); estimate the shipped
-            # fraction from a stride-64 candidate subsample (~3k rows),
-            # with 1.5x slack for the prefix's own pow2 padding
+            # fraction from a stride-64 candidate subsample (~3k rows)
+            # through the SAME predicate the compaction applies (fix-up +
+            # quantize + pattern equality), then round the estimated
+            # non-bg count to its pow2 rung — exactly the prefix the
+            # compaction ships
             sub = centers[::64]
-            sv = atlas[sub[:, 0], sub[:, 1], sub[:, 2]]
-            # bg after fix-up = exactly e14 OR all-zero (fixed up to e14)
-            dense_frac = float((sv[:, :14].any(axis=1)
-                                | ((sv[:, 14] != 1.0)
-                                   & sv.any(axis=1))).mean())
-            prior_rows = min(m_rows, int(m_rows * dense_frac * 1.5) + 1)
-            wire = (vox * (2 if image.dtype.kind in "iu" and
-                           image.dtype.itemsize <= 2 else 4)
+            sv = _quantize_priors(_atlas_vectors_host(atlas, sub),
+                                  prior_dtype)
+            dense_frac = float(
+                (sv != _bg_prior_pattern(sv.shape[1], prior_dtype))
+                .any(axis=1).mean())
+            prior_rows = min(m_rows,
+                             _round_up_pow2(int(n * dense_frac) + 1))
+            from subcort_tpu.models.fcn import RF
+            slab_vox = int(np.prod(np.asarray(dims, np.int64) + RF))
+            wire = (slab_vox * (2 if image.dtype.kind in "iu" and
+                                image.dtype.itemsize <= 2 else 4)
                     + prior_rows * 15 * np.dtype(prior_dtype).itemsize
                     + (m_rows * 15 * np.dtype(probs_dtype).itemsize
                        if want_probs else 0))
@@ -640,6 +662,9 @@ def test_scan(params, scan_path: str, options: Options,
     if _writer is None:
         write_outputs()
     else:
+        # wall_seconds = load+segment; emit() itself runs on the writer
+        # thread, where time.time() would absorb later scans' device work
+        stats.stop()
         _writer.submit(write_outputs)
     return (time.time() - s_time) / 60.0
 

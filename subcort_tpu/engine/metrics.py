@@ -43,14 +43,22 @@ class ScanStats:
     def __init__(self, scan: str):
         self.scan = scan
         self.t0 = time.time()
+        self.t_stop = None
         self.fields: dict = {}
 
     def set(self, **kw):
         self.fields.update(kw)
         return self
 
+    def stop(self):
+        """Pin the wall-clock now. Use when ``emit()`` runs later on a
+        deferred writer thread (pipelined folder sweep): wall_seconds must
+        not absorb queue wait or later scans' device time."""
+        self.t_stop = time.time()
+        return self
+
     def emit(self, sink=None) -> dict:
-        dt = max(time.time() - self.t0, 1e-9)
+        dt = max((self.t_stop or time.time()) - self.t0, 1e-9)
         rec = {"scan": self.scan, "wall_seconds": round(dt, 4), **self.fields}
         if rec.get("candidate_voxels"):
             rec["voxels_per_sec"] = int(rec["candidate_voxels"] / dt)

@@ -143,21 +143,31 @@ def _downsample2(vol, affine):
 
 
 def _moments(vol: np.ndarray, affine: np.ndarray):
-    """Intensity-weighted world centroid + per-world-axis std-dev."""
+    """Intensity-weighted world centroid + per-world-axis std-dev.
+
+    Works entirely from 1-D/2-D marginals of the weight volume: with
+    world coords p = M v + t, the world covariance is M Cov(v) M^T, and
+    Cov(v) needs only E[v_i] and E[v_i v_j] — three 1-D and three 2-D
+    marginal sums. No full-volume coordinate meshgrids (an MNI-sized
+    float64 meshgrid trio is ~170 MB of transients, built twice per
+    registration on the single-core host)."""
     w = np.asarray(vol, np.float64)
     w = np.clip(w - w.min(), 0.0, None)
     total = w.sum() or 1.0
     idx = [np.arange(s, dtype=np.float64) for s in vol.shape]
-    mv = np.array([ (w.sum(axis=tuple(a for a in range(3) if a != i)) * idx[i]).sum() / total
-                    for i in range(3)])
+    marg1 = [w.sum(axis=tuple(a for a in range(3) if a != i))
+             for i in range(3)]
+    mv = np.array([(marg1[i] * idx[i]).sum() / total for i in range(3)])
     centroid = affine[:3, :3] @ mv + affine[:3, 3]
-    # second moments along world axes: E[(p - c)^2] over voxel samples
-    gx, gy, gz = np.meshgrid(idx[0], idx[1], idx[2], indexing="ij")
-    var = np.zeros(3)
+    E2 = np.zeros((3, 3))
     for i in range(3):
-        p_i = (affine[i, 0] * gx + affine[i, 1] * gy + affine[i, 2] * gz
-               + affine[i, 3])
-        var[i] = (w * (p_i - centroid[i]) ** 2).sum() / total
+        E2[i, i] = (marg1[i] * idx[i] ** 2).sum() / total
+        for j in range(i + 1, 3):
+            m2 = w.sum(axis=3 - i - j)  # axes (i, j) remain, in order
+            E2[i, j] = E2[j, i] = (idx[i][:, None] * m2
+                                   * idx[j][None, :]).sum() / total
+    cov = E2 - np.outer(mv, mv)
+    var = np.diag(affine[:3, :3] @ cov @ affine[:3, :3].T)
     return centroid, np.sqrt(np.maximum(var, 1e-8))
 
 
@@ -196,19 +206,17 @@ def register_affine_jax(ref: np.ndarray, flo: np.ndarray,
         levels.insert(0, (r, ra, f, fa))
 
     pn_j = jnp.asarray(pn)
-    losses = []
     # rigid phase at the coarsest level first (aladin's rigid-then-affine
     # schedule), then full 12-dof coarse-to-fine
     schedule = [(levels[0], iters[0], lr, 6)] + [
         (lv, it, level_lr, 12)
         for lv, it, level_lr in zip(levels, iters, (lr, lr / 2.0, lr / 4.0))]
     for (r, ra, f, fa), it, level_lr, dof in schedule:
-        pn_j, ls = _optimize_level(
+        pn_j, _ = _optimize_level(
             pn_j, center, jnp.asarray(r, jnp.float32),
             jnp.asarray(f, jnp.float32),
             jnp.asarray(ra, jnp.float32),
             jnp.asarray(np.linalg.inv(fa), jnp.float32),
             int(it), float(level_lr), cost=cost, nbins=nbins, dof=dof)
-        losses.append(np.asarray(ls))
     A = np.asarray(_affine_from_params(pn_j, center), np.float64)
     return A

@@ -17,7 +17,11 @@ from subcort_tpu.registration.atlas import make_synthetic_atlas
 
 TOOLS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 
-pytestmark = pytest.mark.skipif(
+# Applied per-test, NOT module-wide: the pure-JAX tests (jax affine/FFD,
+# backend='jax' register_masks, atlas validation) exist precisely to prove
+# the no-native-toolchain deployment works, so they must run even when the
+# C++ tools were never built.
+needs_native = pytest.mark.skipif(
     not os.path.exists(os.path.join(TOOLS, "reg_resample")),
     reason="native tools not built (cd native && make)")
 
@@ -36,6 +40,7 @@ def _run(tool, *args):
 
 
 # ------------------------------------------------------------- reg_resample
+@needs_native
 def test_resample_identity_affine(tmp_path, rng):
     vol = rng.random((20, 22, 18)).astype(np.float32)
     ref = _save(tmp_path, "ref.nii.gz", vol)
@@ -47,6 +52,7 @@ def test_resample_identity_affine(tmp_path, rng):
     np.testing.assert_allclose(got, vol, atol=1e-5)
 
 
+@needs_native
 def test_resample_known_translation_matches_scipy(tmp_path, rng):
     vol = ndimage.gaussian_filter(rng.random((24, 20, 22)), 1.5).astype(np.float32)
     ref = _save(tmp_path, "ref.nii.gz", np.zeros((24, 20, 22)))
@@ -71,6 +77,7 @@ def test_resample_known_translation_matches_scipy(tmp_path, rng):
     np.testing.assert_allclose(got[inner], want[inner], atol=1e-4)
 
 
+@needs_native
 def test_resample_4d_multichannel(tmp_path, rng):
     vol = rng.random((12, 14, 10, 5)).astype(np.float32)
     ref = _save(tmp_path, "ref.nii.gz", np.zeros((12, 14, 10)))
@@ -84,6 +91,7 @@ def test_resample_4d_multichannel(tmp_path, rng):
     np.testing.assert_allclose(got, vol, atol=1e-5)
 
 
+@needs_native
 def test_resample_nearest_neighbour(tmp_path, rng):
     vol = rng.integers(0, 9, (10, 10, 10)).astype(np.float32)
     ref = _save(tmp_path, "ref.nii.gz", np.zeros((10, 10, 10)))
@@ -98,6 +106,7 @@ def test_resample_nearest_neighbour(tmp_path, rng):
 
 
 # --------------------------------------------------------------- reg_aladin
+@needs_native
 def test_affine_recovers_known_translation(tmp_path, rng):
     base = ndimage.gaussian_filter(rng.random((48, 52, 44)) * 100, 2).astype(np.float32)
     base[:6] = 0; base[-6:] = 0
@@ -169,6 +178,7 @@ _AFFINE_CASES = {
 }
 
 
+@needs_native
 @pytest.mark.parametrize("case", sorted(_AFFINE_CASES))
 def test_aladin_recovers_full_affine(tmp_path, rng, case):
     """reg_aladin must recover rotation/scale/shear/noise cases, judged by
@@ -212,6 +222,7 @@ def test_jax_affine_recovers_full_affine(tmp_path, rng, case):
 
 
 # ------------------------------------------------------------------ reg_f3d
+@needs_native
 def test_ffd_improves_warped_alignment(tmp_path, rng):
     base = ndimage.gaussian_filter(rng.random((40, 40, 36)) * 100, 2).astype(np.float32)
     base[:5] = 0; base[-5:] = 0
@@ -248,6 +259,7 @@ def test_ffd_improves_warped_alignment(tmp_path, rng):
 
 
 # ------------------------------------------------- JAX backend parity
+@needs_native
 def test_jax_affine_resampler_matches_cpp_tool(tmp_path, rng):
     vol = ndimage.gaussian_filter(rng.random((18, 20, 16)), 1).astype(np.float32)
     ref = _save(tmp_path, "ref.nii.gz", np.zeros((18, 20, 16)))
@@ -261,6 +273,7 @@ def test_jax_affine_resampler_matches_cpp_tool(tmp_path, rng):
     np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+@needs_native
 def test_jax_cpp_resampler_matches_cpp_tool(tmp_path, rng):
     base = ndimage.gaussian_filter(rng.random((30, 30, 26)) * 100, 2).astype(np.float32)
     flo = ndimage.shift(base, (1.0, 0.0, -0.5), order=1)
@@ -279,6 +292,7 @@ def test_jax_cpp_resampler_matches_cpp_tool(tmp_path, rng):
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
 
 
+@needs_native
 def test_anisotropic_grid_spacing_per_axis(tmp_path, rng):
     """Per-axis mm control spacing (VERDICT r3 missing-3): on a 1x1x3 mm
     reference the z lattice must NOT be 3x denser than x/y — both the C++
@@ -318,7 +332,8 @@ def test_anisotropic_grid_spacing_per_axis(tmp_path, rng):
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
 
 
-@pytest.mark.parametrize("backend", ["native", "jax"])
+@pytest.mark.parametrize("backend", [
+    pytest.param("native", marks=needs_native), "jax"])
 def test_register_masks_anisotropic_pipeline(tmp_path, rng, backend):
     """End-to-end register_masks onto a clinical-style 1x1x3 mm subject
     (VERDICT r3 next-5 done-criterion): the isotropic template must land on
@@ -349,6 +364,7 @@ def test_register_masks_anisotropic_pipeline(tmp_path, rng, backend):
 
 
 # ------------------------------------------------- full driver pipeline
+@needs_native
 def test_register_masks_pipeline(tmp_path, rng):
     """End-to-end register_masks on synthetic atlas + derived subject."""
     atlas_dir = str(tmp_path / "atlases")
@@ -424,6 +440,7 @@ def test_register_masks_missing_atlas_raises(tmp_path):
 
 # --------------------------------------------------------- atlas ingestion
 
+@needs_native
 def test_import_atlas_validates_and_installs(tmp_path):
     """User-supplied assets pass schema validation and install under the
     canonical names where _resolve_atlas_dir finds them (base.py:511,528
