@@ -39,3 +39,21 @@ def test_scan_stats_emission():
     assert line["candidate_voxels"] == 1000
     assert "voxels_per_sec" in line and line["voxels_per_sec"] > 0
     assert rec["engine"] == "fcn"
+
+
+def test_scan_stats_stop_pins_wallclock():
+    """stop() freezes wall_seconds at stop time: the pipelined folder sweep
+    emits on a deferred writer thread, and the emitted timing must cover
+    load+segment, not queue wait + later scans' device work."""
+    import time
+
+    st = ScanStats("s").set(candidate_voxels=100)
+    st.stop()
+    pinned = time.time() - st.t0
+    time.sleep(0.05)  # simulated writer-queue delay
+    rec = st.emit(io.StringIO())
+    assert rec["wall_seconds"] <= pinned + 1e-6
+    # without stop(), emit-time clock applies
+    st2 = ScanStats("s2")
+    time.sleep(0.05)
+    assert st2.emit(io.StringIO())["wall_seconds"] >= 0.05
