@@ -429,6 +429,15 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, jnp.bfloat16), params)
 
+    label_vol = np.zeros(shape, np.uint8)
+    prob_vol = (np.zeros(shape + (15,), np.float32) if want_probs else None)
+    if n == 0:
+        # no candidate voxels (e.g. the dilated atlas mask is empty): the
+        # reference's batch generator yields zero batches and the output
+        # volumes stay all-zero (base.py:379-380,414-417) — mirror that
+        # instead of tripping _bbox_of on an empty center set
+        return label_vol, prob_vol
+
     if engine == "auto":
         # FCN wins whenever candidates are reasonably dense in their bbox
         # (it evaluates every bbox voxel); the patch path wins only for very
@@ -436,9 +445,6 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         lo, dims = _bbox_of(centers, shape)
         bvox = int(np.prod(dims))
         engine = "fcn" if bvox <= 30 * n else "patch"
-
-    label_vol = np.zeros(shape, np.uint8)
-    prob_vol = (np.zeros(shape + (15,), np.float32) if want_probs else None)
 
     if engine == "fcn":
         lo, dims = _bbox_of(centers, shape)

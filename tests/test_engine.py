@@ -74,6 +74,37 @@ def test_segment_volume_matches_slow_path(params, phantom, rng):
     np.testing.assert_allclose(pr32.sum(1), 1.0, atol=1e-4)
 
 
+def test_segment_volume_empty_candidates(params, phantom):
+    """Zero candidate voxels (e.g. an empty dilated atlas mask after a
+    degenerate registration) must yield all-zero outputs like the
+    reference's zero-batch generator (base.py:379-380,414-417), for every
+    engine — not crash on the empty bbox."""
+    image, atlas, _ = phantom
+    centers = np.zeros((0, 3), np.int32)
+    for eng in ("auto", "fcn", "patch"):
+        lv, pv = segment_volume(params, image, atlas, centers,
+                                want_probs=True, engine=eng)
+        assert lv.shape == image.shape and lv.sum() == 0
+        assert pv.shape == image.shape + (15,) and pv.sum() == 0
+
+
+def test_test_scan_empty_mask_contract(params, phantom, tmp_path):
+    """A subject whose atlas mask is empty still gets the reference's
+    output files (all-background) through the full test_scan path."""
+    image, atlas, _ = phantom
+    empty_mask = np.zeros(image.shape, np.uint8)
+    sub = _write_subject(tmp_path, "s_empty", image, atlas, empty_mask)
+    opts = Options(test_folder=str(tmp_path), post_process=True,
+                   out_probabilities=True, crop=True, debug=False,
+                   net_verbose=0)
+    minutes = test_scan(params, str(sub / "T1.nii.gz"), opts)
+    assert minutes >= 0
+    seg = load_nii(str(sub / "out_subcortical_seg_prec.nii.gz")).data
+    prob = load_nii(str(sub / "out_subcortical_prob.nii.gz")).data
+    assert seg.shape == image.shape and seg.sum() == 0
+    assert prob.shape == image.shape + (15,) and prob.sum() == 0
+
+
 def test_patch_engine_compile_bucketing(params, phantom, rng):
     """Differently-sized candidate sets in the same pow2 chunk-count bucket
     must reuse the compiled program (remote compiles cost minutes)."""
