@@ -460,8 +460,13 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             # phases (single-slab prob runs degraded 0.6->3.8 s in a bad
             # phase; split-2 stayed at 0.57-0.65 s). Gated on estimated
             # wire bytes, not voxels: small-wire runs (e.g. the bf16+uint8
-            # fast profile at ~6 MB) lose more to the extra halo + dispatch
-            # than the overlap buys (measured +0.04 s).
+            # fast profile, ~4.4 MB under this halo'd+compacted formula)
+            # lose more to the extra halo + dispatch than the overlap buys
+            # (measured +0.04 s). The 8 MB threshold was re-validated after
+            # the formula switched to shipped bytes: the MNI bench configs
+            # keep their measured-best decisions (labels 6.4 MB -> single,
+            # +probs 10.3 MB -> split-2, fast 4.4 MB -> single;
+            # BENCH_SELF_r04.json timings).
             m_rows = min(_round_up_pow2(n), vox)
             # prior rows that are pure background never cross the wire
             # (_fcn_slab_inputs compacts them); estimate the shipped
@@ -605,6 +610,29 @@ def _load_scan_inputs(scan_path: str, options: Options, register_fn=None):
     return t1, image, atlas, centers
 
 
+class _BoundedWriter:
+    """Bounded async-write queue for the pipelined folder sweep: at most
+    ``max_inflight`` deferred write_outputs closures exist at once (each
+    pins a scan's output volumes — a ~430 MB prob map with
+    out_probabilities — so an unbounded backlog behind a slow gzip would
+    grow host RSS by that much per queued scan). submit() blocks on (and
+    surfaces errors from) the oldest write once the bound is hit."""
+
+    def __init__(self, pool, max_inflight: int = 2):
+        self.pool = pool
+        self.max_inflight = max_inflight
+        self.futures = []
+
+    def submit(self, fn):
+        while len(self.futures) >= self.max_inflight:
+            self.futures.pop(0).result()
+        self.futures.append(self.pool.submit(fn))
+
+    def drain(self):
+        while self.futures:
+            self.futures.pop(0).result()
+
+
 def test_scan(params, scan_path: str, options: Options,
               register_fn=None, spec: TriPlanarSpec = DEFAULT_SPEC,
               _inputs=None, _writer=None) -> float:
@@ -618,8 +646,11 @@ def test_scan(params, scan_path: str, options: Options,
     ``_inputs``/``_writer`` (internal, used by ``segment_folder``'s
     pipelined sweep): pre-loaded ``_load_scan_inputs`` result, and an
     executor to run post-processing + file writes on so they overlap the
-    next scan's device work. With ``_writer`` the returned minutes cover
-    load+segment only; output files are guaranteed on disk once the
+    next scan's device work. With ``_writer`` the returned minutes (and
+    the emitted per-scan stats) cover the segmentation stage only —
+    loading happened in the prefetch thread and writes are deferred — so
+    they are NOT comparable to serial-mode numbers, which cover
+    load+segment+write. Output files are guaranteed on disk once the
     caller drains the writer.
     """
     s_time = time.time()
@@ -645,22 +676,27 @@ def test_scan(params, scan_path: str, options: Options,
         compute_dtype=options["compute_dtype"],
         devices=_data_parallel_devices(options))
 
+    # capture only what the (possibly deferred) write needs: the affine and
+    # the seg output dtype — never `t1`/`image` themselves, which would pin
+    # the raw scan volume in the writer queue for its whole lifetime
+    affine = t1.affine
+    seg_dtype = image.dtype if image.dtype.kind in "iu" else np.uint8
+
     def write_outputs():
         if want_probs:
             # asarray, not astype: prob_vol is already float32 — avoid a
             # no-op ~430 MB copy before the (streamed, level-1 gzip) write
-            save_nii(NiftiImage(np.asarray(prob_vol, np.float32), t1.affine),
+            save_nii(NiftiImage(np.asarray(prob_vol, np.float32), affine),
                      os.path.join(image_dir, "out_subcortical_prob.nii.gz"))
         if options.bool("post_process"):
             filtered = post_process_segmentation(
                 image_dir, label_vol,
                 bugcompat_argmax=options["bugcompat_postprocess_argmax"],
                 cc_backend=options["cc_backend"])
-            save_nii(NiftiImage(filtered.astype(image.dtype if image.dtype.kind in "iu" else np.uint8),
-                                t1.affine),
+            save_nii(NiftiImage(filtered.astype(seg_dtype), affine),
                      os.path.join(image_dir, "out_subcortical_seg_prec.nii.gz"))
         else:
-            save_nii(NiftiImage(label_vol.astype(np.uint8), t1.affine),
+            save_nii(NiftiImage(label_vol.astype(np.uint8), affine),
                      os.path.join(image_dir, "out_subcortical_rawseg.nii.gz"))
         if options["net_verbose"]:
             stats.emit()  # one JSON line: wall_seconds, voxels_per_sec, ...
@@ -668,8 +704,12 @@ def test_scan(params, scan_path: str, options: Options,
     if _writer is None:
         write_outputs()
     else:
-        # wall_seconds = load+segment; emit() itself runs on the writer
-        # thread, where time.time() would absorb later scans' device work
+        # pin wall_seconds now: emit() runs later on the writer thread,
+        # where time.time() would absorb queue wait + later scans' device
+        # work. NOTE the measurement semantics differ by mode — serial
+        # stats cover segment + post-process + write; pipelined stats (and
+        # the returned minutes, since loading happened in the prefetch
+        # thread) cover the segmentation stage only.
         stats.stop()
         _writer.submit(write_outputs)
     return (time.time() - s_time) / 60.0
@@ -746,35 +786,32 @@ class SegmentationEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
-        class _Writer:
-            """Collects write futures so errors surface at drain time."""
-
-            def __init__(self, pool):
-                self.pool = pool
-                self.futures = []
-
-            def submit(self, fn):
-                self.futures.append(self.pool.submit(fn))
-
-            def drain(self):
-                for f in self.futures:
-                    f.result()
-
         # separate single-thread pools: a slow writeback (e.g. a 430 MB
         # prob-map gzip) must not starve the prefetch of the next scan
         with ThreadPoolExecutor(1) as loader, ThreadPoolExecutor(1) as wpool:
-            writer = _Writer(wpool)
+            writer = _BoundedWriter(wpool)
             nxt = loader.submit(_load_scan_inputs, pairs[0][0], self.options,
                                 self.register_fn)
-            for i, (path, sub) in enumerate(pairs):
-                inputs = nxt.result()
-                if i + 1 < len(pairs):
-                    nxt = loader.submit(_load_scan_inputs, pairs[i + 1][0],
-                                        self.options, self.register_fn)
-                if self.options.bool("debug"):
-                    print("--> testing scan", sub)
-                times[sub] = test_scan(self.params, path, self.options,
-                                       spec=self.spec, _inputs=inputs,
-                                       _writer=writer)
-            writer.drain()
+            try:
+                for i, (path, sub) in enumerate(pairs):
+                    inputs = nxt.result()
+                    if i + 1 < len(pairs):
+                        nxt = loader.submit(_load_scan_inputs, pairs[i + 1][0],
+                                            self.options, self.register_fn)
+                    if self.options.bool("debug"):
+                        print("--> testing scan", sub)
+                    times[sub] = test_scan(self.params, path, self.options,
+                                           spec=self.spec, _inputs=inputs,
+                                           _writer=writer)
+                writer.drain()
+            except BaseException:
+                # a failed scan/prefetch must not silently discard errors
+                # from writes already queued: wait them out, report, then
+                # re-raise the primary error
+                try:
+                    writer.drain()
+                except Exception as we:  # noqa: BLE001 — reported, not lost
+                    print(f"--> additionally, a deferred output write "
+                          f"failed: {we!r}")
+                raise
         return times

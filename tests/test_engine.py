@@ -218,6 +218,84 @@ def test_folder_sweep_pipelined_surfaces_write_errors(params, phantom,
         SegmentationEngine(params, opts).segment_folder()
 
 
+def test_bounded_writer_backpressure_and_errors():
+    """The pipelined sweep's write queue must never hold more than
+    max_inflight deferred closures (each pins a scan's ~430 MB prob
+    volume), and a failed write must surface at the next submit, not
+    only at drain."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from subcort_tpu.engine.infer import _BoundedWriter
+
+    gate = threading.Event()
+    in_flight = []
+    peak = []
+
+    def slow_write():
+        in_flight.append(1)
+        peak.append(len(in_flight))
+        gate.wait(5)
+        in_flight.pop()
+
+    with ThreadPoolExecutor(1) as pool:
+        w = _BoundedWriter(pool, max_inflight=2)
+        w.submit(slow_write)
+        w.submit(slow_write)
+        # queue is full: a third submit must block until one completes
+        t = threading.Thread(target=w.submit, args=(slow_write,))
+        t.start()
+        t.join(0.3)
+        assert t.is_alive(), "third submit should block at max_inflight=2"
+        gate.set()
+        t.join(5)
+        assert not t.is_alive()
+        w.drain()
+    assert max(peak) <= 2  # single writer thread: sequential writes
+
+    def boom():
+        raise OSError("disk full")
+
+    with ThreadPoolExecutor(1) as pool:
+        w = _BoundedWriter(pool, max_inflight=1)
+        w.submit(boom)
+        with pytest.raises(OSError, match="disk full"):
+            w.submit(boom)  # backpressure drains the failed oldest write
+        w.futures.clear()
+
+
+def test_folder_sweep_scan_error_surfaces_pending_writes(params, phantom,
+                                                         tmp_path, capsys,
+                                                         monkeypatch):
+    """If a scan fails mid-sweep, queued write errors from earlier scans
+    must be reported (not silently discarded) and the primary error
+    re-raised."""
+    image, atlas, mask = phantom
+    for s in ("s1", "s2", "s3"):
+        _write_subject(tmp_path, s, image, atlas, mask)
+    opts = Options(test_folder=str(tmp_path), post_process=False,
+                   out_probabilities=False, crop=True, debug=False,
+                   net_verbose=0, folder_pipeline=True)
+    import subcort_tpu.engine.infer as inf
+
+    def bad_write(*a, **k):
+        raise OSError("disk full")
+
+    real_load = inf._load_scan_inputs
+    calls = []
+
+    def failing_load(path, *a, **k):
+        calls.append(path)
+        if "s3" in path:
+            raise RuntimeError("registration exploded")
+        return real_load(path, *a, **k)
+
+    monkeypatch.setattr(inf, "save_nii", bad_write)
+    monkeypatch.setattr(inf, "_load_scan_inputs", failing_load)
+    with pytest.raises((RuntimeError, OSError)):
+        SegmentationEngine(params, opts).segment_folder()
+
+
 def test_segment_volume_fcn_matches_patch_engine(params, phantom, rng):
     """The dense (à-trous) engine and the patch engine must agree exactly
     on labels and probabilities at every candidate voxel."""
