@@ -56,13 +56,18 @@ def scan_forward_centers(params, padded_vol, centers, atlas_vecs,
                 *view_vols, c, interpret=pallas_interpret)
         else:
             ax, co, sa = gather_triplanar(padded_vol, c)
-        if jnp.dtype(compute_dtype) != padded_vol.dtype:
-            # the volume stays f32 (the DMA kernel's rolls are 32-bit only,
-            # and f32-gather-then-cast matches the normalize-then-cast
-            # precision rule); patches+priors cast here for bf16 compute
-            cd = jnp.dtype(compute_dtype)
-            ax, co, sa, at = (ax.astype(cd), co.astype(cd), sa.astype(cd),
-                              at.astype(cd))
+        cd = jnp.dtype(compute_dtype)
+        if ax.dtype != cd:
+            # Pallas path: the volume stays f32 (the DMA kernel's rolls are
+            # 32-bit only, and f32-gather-then-cast matches the
+            # normalize-then-cast precision rule), so patches cast here. On
+            # the XLA-gather path the volume ships pre-cast and the gathers
+            # already emit the compute dtype.
+            ax, co, sa = ax.astype(cd), co.astype(cd), sa.astype(cd)
+        if at.dtype != cd:
+            # priors always arrive f32 — cast regardless of which gather ran,
+            # else the atlas branch + head silently promote back to f32
+            at = at.astype(cd)
         probs = model_apply(params, {"axial": ax, "coronal": co,
                                      "sagittal": sa, "atlas": at}, spec=spec)
         labels = jnp.argmax(probs, axis=1).astype(jnp.uint8)

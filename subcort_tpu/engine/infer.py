@@ -17,7 +17,11 @@ scattered on the host.
 Output contract matches the reference exactly (filenames and semantics,
 base.py:445-455): ``out_subcortical_prob.nii.gz`` (when out_probabilities),
 ``out_subcortical_seg_prec.nii.gz`` (post-processed) or
-``out_subcortical_rawseg.nii.gz``. Fixes SURVEY.md §2.3-1 (the reference
+``out_subcortical_rawseg.nii.gz``. One deliberate precision delta: the
+prob map's values default to 1/255-step fixed point (``[tpu] probs_dtype =
+uint8``, the device->host readback wire — half the bytes on the slow link;
+labels are computed on device and unaffected). Set ``probs_dtype =
+float32`` for reference-exact probability values. Fixes SURVEY.md §2.3-1 (the reference
 only produces nonzero output when ``debug='True'`` due to a stray indent —
 we always predict) and §2.3-2 (``crop`` actually honors False).
 """
@@ -438,6 +442,7 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         # instead of tripping _bbox_of on an empty center set
         return label_vol, prob_vol
 
+    lo = dims = None
     if engine == "auto":
         # FCN wins whenever candidates are reasonably dense in their bbox
         # (it evaluates every bbox voxel); the patch path wins only for very
@@ -447,7 +452,8 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         engine = "fcn" if bvox <= 30 * n else "patch"
 
     if engine == "fcn":
-        lo, dims = _bbox_of(centers, shape)
+        if lo is None:
+            lo, dims = _bbox_of(centers, shape)
         vox = int(np.prod(dims))
         if devices is not None and len(devices) > 1:
             # split finely enough that every device gets work
@@ -587,9 +593,17 @@ def _data_parallel_devices(options: Options):
 def _load_scan_inputs(scan_path: str, options: Options, register_fn=None):
     """Host-side per-scan prep: ensure priors exist (registering on a cache
     miss, base.py:361-365), load the T1 + prior volumes, and enumerate
-    candidate voxels. Pure host/subprocess work with no device calls — safe
-    to run ahead of time (``segment_folder`` prefetches the next scan's
-    inputs here while the device segments the current one)."""
+    candidate voxels.
+
+    Host/subprocess work, safe to run ahead of time (``segment_folder``
+    prefetches the next scan's inputs here while the device segments the
+    current one) — with one caveat: ``reg_backend=jax`` registers *on
+    device*, so a priors cache miss under the pipelined sweep dispatches
+    the affine+FFD programs (and, on a cold cache, their remote compiles)
+    interleaved with the main thread's segmentation on the same chip.
+    Correct (JAX serializes dispatch), but the contention defeats the
+    prefetch overlap — pre-register the cohort or use the native backend
+    when pipelining."""
     image_dir, _ = os.path.split(scan_path)
     tmp = os.path.join(image_dir, "tmp")
     prior_path = os.path.join(tmp, "MNI_sub_probabilities.nii.gz")
@@ -666,9 +680,16 @@ def test_scan(params, scan_path: str, options: Options,
                                      volume_shape=list(image.shape))
 
     want_probs = options.bool("out_probabilities")
+    # round the config-derived chunk up to a Pallas-BLOCK multiple: the
+    # chunk is an internal tiling detail (any value yields identical
+    # results), but a non-multiple — e.g. test_batch_size=1000 — would
+    # silently disqualify the DMA gather kernel on TPU (~10x slower gathers)
+    from subcort_tpu.ops.pallas_gather import BLOCK as _PBLOCK
+    chunk = min(DEFAULT_CHUNK, max(256, options["test_batch_size"]))
+    chunk = -(-chunk // _PBLOCK) * _PBLOCK
     label_vol, prob_vol = segment_volume(
         params, image, atlas, centers, want_probs=want_probs,
-        chunk=min(DEFAULT_CHUNK, max(256, options["test_batch_size"])), spec=spec,
+        chunk=chunk, spec=spec,
         engine="auto" if options.bool("use_fcn") else "patch",
         fcn_max_bbox_voxels=options["fcn_max_bbox_voxels"],
         prior_dtype=np.dtype(options["prior_dtype"]),

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from subcort_tpu.registration.jax_backend import _trilinear
+from subcort_tpu.registration.jax_backend import (_EXACT, _ref_world_coords,
+                                                  _trilinear, downsample2)
 
 # per-parameter natural scales: Adam applies one lr to every coordinate, so
 # parameters are optimized in normalized units and scaled here — 10 mm of
@@ -81,13 +82,7 @@ def _optimize_level(pn, center, ref, flo, ref_affine, flo_inv,
     mask = jnp.asarray(
         np.concatenate([np.ones(6), np.full(6, 1.0 if dof == 12 else 0.0)])
         .astype(np.float32))
-    shape = ref.shape
-    gx, gy, gz = jnp.meshgrid(jnp.arange(shape[0], dtype=jnp.float32),
-                              jnp.arange(shape[1], dtype=jnp.float32),
-                              jnp.arange(shape[2], dtype=jnp.float32),
-                              indexing="ij")
-    vox = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], -1)
-    ref_world = jnp.einsum("ij,xyzj->xyzi", ref_affine[:3, :], vox)
+    ref_world = _ref_world_coords(ref.shape, ref_affine)
 
     if cost == "nmi":
         rlo, rhi = ref.min(), ref.max()
@@ -100,10 +95,12 @@ def _optimize_level(pn, center, ref, flo, ref_affine, flo_inv,
 
     def loss_fn(q):
         A = _affine_from_params(q, center)
-        fw = (jnp.einsum("ij,xyzj->xyzi", A[:3, :3], ref_world)
+        fw = (jnp.einsum("ij,xyzj->xyzi", A[:3, :3], ref_world,
+                         precision=_EXACT)
               + A[:3, 3])
         fw1 = jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], -1)
-        fv = jnp.einsum("ij,xyzj->xyzi", flo_inv[:3, :], fw1)
+        fv = jnp.einsum("ij,xyzj->xyzi", flo_inv[:3, :], fw1,
+                        precision=_EXACT)
         warped = _trilinear(flo, fv)
         # overlap weight: fraction of each pulled sample inside the floating
         # FOV (ones pulled through the same coords). Without it, reference
@@ -130,16 +127,6 @@ def _optimize_level(pn, center, ref, flo, ref_affine, flo_inv,
     (pn, _), losses = jax.lax.scan(body, (pn, opt.init(pn)),
                                    None, length=iters)
     return pn, losses
-
-
-def _downsample2(vol, affine):
-    x, y, z = (s - s % 2 for s in vol.shape)
-    v = vol[:x, :y, :z].reshape(x // 2, 2, y // 2, 2, z // 2, 2).mean(
-        (1, 3, 5))
-    a = np.asarray(affine, np.float64).copy()
-    a[:3, 3] += 0.5 * a[:3, :3].sum(1)
-    a[:3, :3] *= 2.0
-    return v, a
 
 
 def _moments(vol: np.ndarray, affine: np.ndarray):
@@ -201,8 +188,8 @@ def register_affine_jax(ref: np.ndarray, flo: np.ndarray,
     # pyramid: /4, /2, /1 (same world frame at every level)
     levels = [(ref, ref_affine, flo, flo_affine)]
     for _ in range(2):
-        r, ra = _downsample2(*levels[0][:2])
-        f, fa = _downsample2(*levels[0][2:])
+        r, ra = downsample2(*levels[0][:2])
+        f, fa = downsample2(*levels[0][2:])
         levels.insert(0, (r, ra, f, fa))
 
     pn_j = jnp.asarray(pn)

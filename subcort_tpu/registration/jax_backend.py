@@ -15,8 +15,17 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from subcort_tpu.io import load_nii
+
+# every einsum below contracts f32 coordinates/displacements that feed the
+# transform.nii cross-runtime contract (native/src/geometry.hpp) and the
+# FFD/affine losses; TPU's default matmul precision runs f32 contractions
+# as bf16 passes (~2^-8 relative error), so pin HIGHEST like the model's
+# convs (models/triplanar.py:192) — the contraction dims here are tiny
+# (3-4 or the control-point count), so exactness is effectively free.
+_EXACT = lax.Precision.HIGHEST
 
 
 class CppGrid(NamedTuple):
@@ -40,6 +49,23 @@ def spacing3(spacing) -> Tuple[float, float, float]:
     if arr.size != 3:
         raise ValueError(f"spacing must be scalar or length-3, got {spacing!r}")
     return tuple(float(s) for s in arr)
+
+
+def downsample2(vol, affine=None):
+    """Half-resolution 2x2x2 mean pool (odd tails dropped); numpy or jax
+    arrays alike. With ``affine``, also returns the half-res grid's world
+    affine in the SAME world frame: columns double (voxels are 2x coarser)
+    and the origin shifts to the 2x2x2 cell centroid. One implementation
+    for every registration pyramid (affine + both FFD backends' levels) so
+    coordinate-frame fixes cannot land in one copy and miss another."""
+    x, y, z = (s - s % 2 for s in vol.shape)
+    v = vol[:x, :y, :z].reshape(x // 2, 2, y // 2, 2, z // 2, 2).mean((1, 3, 5))
+    if affine is None:
+        return v
+    a = np.asarray(affine, np.float64).copy()
+    a[:3, 3] += 0.5 * a[:3, :3].sum(1)
+    a[:3, :3] *= 2.0
+    return v, a
 
 
 def load_cpp_grid(path: str, ref_affine: np.ndarray) -> CppGrid:
@@ -95,7 +121,8 @@ def _ref_world_coords(ref_shape: Tuple[int, int, int], ref_affine) -> jnp.ndarra
     gx, gy, gz = jnp.meshgrid(jnp.arange(ref_shape[0]), jnp.arange(ref_shape[1]),
                               jnp.arange(ref_shape[2]), indexing="ij")
     vox = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], axis=-1).astype(jnp.float32)
-    return jnp.einsum("ij,xyzj->xyzi", jnp.asarray(ref_affine, jnp.float32), vox)[..., :3]
+    return jnp.einsum("ij,xyzj->xyzi", jnp.asarray(ref_affine, jnp.float32),
+                      vox, precision=_EXACT)[..., :3]
 
 
 @partial(jax.jit, static_argnames=("ref_shape",))
@@ -103,10 +130,12 @@ def _resample_affine(flo, affine, flo_inv, ref_affine, ref_shape):
     w = _ref_world_coords(ref_shape, ref_affine)
     fw = jnp.einsum("ij,xyzj->xyzi",
                     jnp.asarray(affine, jnp.float32)[:3, :],
-                    jnp.concatenate([w, jnp.ones(w.shape[:-1] + (1,))], axis=-1))
+                    jnp.concatenate([w, jnp.ones(w.shape[:-1] + (1,))], axis=-1),
+                    precision=_EXACT)
     fv = jnp.einsum("ij,xyzj->xyzi",
                     jnp.asarray(flo_inv, jnp.float32)[:3, :],
-                    jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], axis=-1))
+                    jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], axis=-1),
+                    precision=_EXACT)
     return _trilinear(flo, fv)
 
 
@@ -155,9 +184,9 @@ def bspline_dense_disp(disp: jnp.ndarray, spacing, shape) -> jnp.ndarray:
     Wx = _bspline_axis_matrix(shape[0], sx, ncx)
     Wy = _bspline_axis_matrix(shape[1], sy, ncy)
     Wz = _bspline_axis_matrix(shape[2], sz, ncz)
-    t = jnp.einsum("xa,abck->xbck", Wx, disp)
-    t = jnp.einsum("yb,xbck->xyck", Wy, t)
-    return jnp.einsum("zc,xyck->xyzk", Wz, t)
+    t = jnp.einsum("xa,abck->xbck", Wx, disp, precision=_EXACT)
+    t = jnp.einsum("yb,xbck->xyck", Wy, t, precision=_EXACT)
+    return jnp.einsum("zc,xyck->xyzk", Wz, t, precision=_EXACT)
 
 
 @partial(jax.jit, static_argnames=("ref_shape",))
@@ -167,7 +196,8 @@ def _resample_cpp(flo, disp, spacing, flo_inv, ref_affine, ref_shape):
     fw = w + d
     fv = jnp.einsum("ij,xyzj->xyzi",
                     jnp.asarray(flo_inv, jnp.float32)[:3, :],
-                    jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], axis=-1))
+                    jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], axis=-1),
+                    precision=_EXACT)
     return _trilinear(flo, fv)
 
 

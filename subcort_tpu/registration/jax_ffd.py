@@ -35,9 +35,9 @@ import numpy as np
 import optax
 
 from subcort_tpu.io import NiftiImage, save_nii
-from subcort_tpu.registration.jax_backend import (CppGrid, _trilinear,
+from subcort_tpu.registration.jax_backend import (_EXACT, CppGrid, _trilinear,
                                                   bspline_dense_disp,
-                                                  spacing3)
+                                                  downsample2, spacing3)
 
 
 def _grid_counts(shape, spacing) -> Tuple[int, int, int]:
@@ -92,12 +92,6 @@ def jacobian_stats(grid, shape) -> dict:
     det = _jac_det_rel(dd, A)
     return {"min_jac": float(det.min()),
             "neg_fraction": float((det <= 0.0).mean())}
-
-
-def _downsample2(vol: jnp.ndarray) -> jnp.ndarray:
-    x, y, z = (s - s % 2 for s in vol.shape)
-    v = vol[:x, :y, :z]
-    return v.reshape(x // 2, 2, y // 2, 2, z // 2, 2).mean((1, 3, 5))
 
 
 def _soft_hist_weights(x01: jnp.ndarray, nbins: int) -> jnp.ndarray:
@@ -163,7 +157,8 @@ def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
                               jnp.arange(shape[2], dtype=jnp.float32),
                               indexing="ij")
     vox = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], -1)
-    ref_world = jnp.einsum("ij,xyzj->xyzi", ref_affine[:3, :], vox)
+    ref_world = jnp.einsum("ij,xyzj->xyzi", ref_affine[:3, :], vox,
+                           precision=_EXACT)
 
     if cost == "nmi":
         # fixed normalization ranges: ref's own, and flo's extended to 0
@@ -178,7 +173,8 @@ def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
         dd = _dense_disp(d, spacing, shape)
         fw = ref_world + dd
         fw1 = jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], -1)
-        fv = jnp.einsum("ij,xyzj->xyzi", flo_inv[:3, :], fw1)
+        fv = jnp.einsum("ij,xyzj->xyzi", flo_inv[:3, :], fw1,
+                        precision=_EXACT)
         warped = _trilinear(flo, fv)
         if cost == "nmi":
             w01 = jnp.clip((warped - flo_lo) * fscale, 0.0, 1.0)
@@ -269,14 +265,8 @@ def register_ffd_jax(ref: np.ndarray, flo: np.ndarray,
 
     # coarse level: half-res images; same world grid => spacing halves in
     # level-voxel units and the level affine doubles its columns
-    ref_c = _downsample2(ref_j)
-    flo_c = _downsample2(flo_j)
-    ref_affine_c = ref_affine.copy()
-    ref_affine_c[:3, :3] *= 2.0
-    ref_affine_c[:3, 3] += 0.5 * ref_affine[:3, :3].sum(1)
-    flo_affine_c = flo_affine.copy()
-    flo_affine_c[:3, :3] *= 2.0
-    flo_affine_c[:3, 3] += 0.5 * flo_affine[:3, :3].sum(1)
+    ref_c, ref_affine_c = downsample2(ref_j, ref_affine)
+    flo_c, flo_affine_c = downsample2(flo_j, flo_affine)
 
     losses = []
     disp, l0 = _optimize_level(
