@@ -452,3 +452,55 @@ def test_segment_volume_uint16_prior_default_agreement(params, phantom, rng):
     lv16, _ = segment_volume(params, image, atlas, centers, engine="fcn")
     sel = centers[:, 0], centers[:, 1], centers[:, 2]
     assert (lv16[sel] == lv32[sel]).mean() >= 0.9999
+
+
+def test_bf16_xla_path_matches_cast_inside_semantics(params, phantom, rng):
+    """The XLA-gather bf16 path ships the volume pre-cast (engine/infer.py);
+    gather-then-cast must equal cast-then-gather, INCLUDING the prior
+    vectors — the cast gate once keyed on the volume dtype and silently left
+    priors f32 on the pre-cast path (r4 review fix, engine/forward.py)."""
+    import jax.numpy as jnp
+
+    from subcort_tpu.engine.forward import scan_forward_centers
+    from subcort_tpu.ops import normalize_nonzero, pad_volume
+
+    image, atlas, _ = phantom
+    chunk = 64
+    centers = np.stack([rng.integers(0, s, 2 * chunk) for s in image.shape],
+                       axis=1).astype(np.int32)
+    vecs = atlas[centers[:, 0], centers[:, 1], centers[:, 2]].astype(np.float32)
+    norm, _, _ = normalize_nonzero(image)
+    # segment_volume casts params to the compute dtype before dispatch
+    params_bf16 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16), params)
+
+    def run(vol_dtype):
+        padded = pad_volume(jnp.asarray(norm.astype(vol_dtype)))
+        return scan_forward_centers(
+            params_bf16, padded, jnp.asarray(centers), jnp.asarray(vecs),
+            chunk, True, compute_dtype="bfloat16", probs_dtype="float32")
+
+    lab_f32vol, probs_f32vol = run(np.float32)      # Pallas-style: cast inside
+    lab_bf16vol, probs_bf16vol = run(jnp.bfloat16)  # XLA path: pre-cast volume
+    np.testing.assert_array_equal(np.asarray(lab_f32vol),
+                                  np.asarray(lab_bf16vol))
+    np.testing.assert_array_equal(np.asarray(probs_f32vol),
+                                  np.asarray(probs_bf16vol))
+
+
+def test_test_scan_odd_batch_size_chunk_invariance(params, phantom, tmp_path):
+    """test_batch_size is free-form in the config contract; the internal
+    chunk rounds to a Pallas-BLOCK multiple (so odd values keep the DMA
+    gather on TPU) and any chunk yields identical outputs."""
+    image, atlas, mask = phantom
+    s_odd = _write_subject(tmp_path, "odd", image, atlas, mask)
+    s_ref = _write_subject(tmp_path, "ref", image, atlas, mask)
+    test_scan(params, str(s_odd / "T1.nii.gz"),
+              Options(post_process=False, out_probabilities=False, crop=True,
+                      debug=False, test_batch_size=1000, use_fcn=False))
+    test_scan(params, str(s_ref / "T1.nii.gz"),
+              Options(post_process=False, out_probabilities=False, crop=True,
+                      debug=False, use_fcn=False))
+    np.testing.assert_array_equal(
+        load_nii(str(s_odd / "out_subcortical_rawseg.nii.gz")).data,
+        load_nii(str(s_ref / "out_subcortical_rawseg.nii.gz")).data)
