@@ -263,6 +263,13 @@ inline CppGrid load_cpp(const std::string& path, const Image& ref) {
                           ref.affine[1][j] * ref.affine[1][j] +
                           ref.affine[2][j] * ref.affine[2][j]);
     g.spacing[j] = gs / (rs ? rs : 1.0);
+    // a 5D NIfTI that is not a control grid (or a zeroed sform column)
+    // would yield spacing 0 -> division by zero in displacement() and a
+    // silently all-background resample; fail loudly instead
+    if (!(g.spacing[j] > 0.0))
+      throw std::runtime_error(path + ": not a SUBCORT_CPP grid "
+                               "(zero spacing along axis " +
+                               std::to_string(j) + ")");
   }
   return g;
 }

@@ -124,6 +124,10 @@ inline std::vector<char> read_file(const std::string& path) {
     char buf[1 << 16];
     int n;
     while ((n = gzread(f, buf, sizeof buf)) > 0) out.insert(out.end(), buf, buf + n);
+    if (n < 0) {  // gzread returns -1 on a corrupt deflate stream, not EOF
+      gzclose(f);
+      throw std::runtime_error("corrupt gzip stream " + path);
+    }
     gzclose(f);
   } else {
     FILE* f = std::fopen(path.c_str(), "rb");
@@ -152,7 +156,11 @@ inline void write_file(const std::string& path, const std::vector<char>& bytes) 
       if (n <= 0) { gzclose(f); throw std::runtime_error("gzwrite failed " + path); }
       off += (size_t)n;
     }
-    gzclose(f);
+    // gzclose flushes zlib's buffer: a disk-full failure surfaces HERE, not
+    // in gzwrite — ignoring it would hand the next pipeline stage a
+    // truncated file with exit status 0
+    if (gzclose(f) != Z_OK)
+      throw std::runtime_error("gzclose (flush) failed " + path);
   } else {
     FILE* f = std::fopen(path.c_str(), "wb");
     if (!f) throw std::runtime_error("cannot write " + path);
@@ -160,7 +168,8 @@ inline void write_file(const std::string& path, const std::vector<char>& bytes) 
       std::fclose(f);
       throw std::runtime_error("short write " + path);
     }
-    std::fclose(f);
+    if (std::fclose(f) != 0)
+      throw std::runtime_error("fclose (flush) failed " + path);
   }
 }
 
@@ -184,12 +193,26 @@ inline Image load(const std::string& path) {
   Image img;
   int64_t n = 1;
   for (int i = 1; i <= ndim; ++i) {
+    if (h.dim[i] < 1)
+      throw std::runtime_error(path + ": bad dim");
     img.shape.push_back(h.dim[i]);
+    if (n > (int64_t{1} << 40) / h.dim[i])  // cap well before i64 overflow
+      throw std::runtime_error(path + ": dim product too large");
     n *= h.dim[i];
   }
   float slope = (h.scl_slope == 0.0f) ? 1.0f : h.scl_slope;
   float inter = h.scl_inter;
   size_t off = (size_t)std::max(h.vox_offset, 348.0f);
+  size_t esize;
+  switch (h.datatype) {
+    case 2: case 256: esize = 1; break;
+    case 4: case 512: esize = 2; break;
+    case 8: case 16: case 768: esize = 4; break;
+    case 64: esize = 8; break;
+    default: throw std::runtime_error(path + ": unsupported datatype");
+  }
+  if (raw.size() < off || raw.size() - off < (size_t)n * esize)
+    throw std::runtime_error(path + ": truncated voxel data");
   img.data.resize(n);
   const char* src = raw.data() + off;
   switch (h.datatype) {

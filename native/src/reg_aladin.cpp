@@ -250,7 +250,7 @@ std::vector<Pair> block_match(const Image& ref, const Image& flo,
 
 int main(int argc, char** argv) {
   std::string ref_path, flo_path, aff_path, res_path;
-  int levels = 3, maxit = 4;
+  int levels = 3, perform = -1, maxit = 4;
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -261,7 +261,11 @@ int main(int argc, char** argv) {
     else if (a == "-flo") flo_path = next();
     else if (a == "-aff") aff_path = next();
     else if (a == "-res") res_path = next();
-    else if (a == "-lp" || a == "-ln") levels = std::atoi(next().c_str());
+    // NiftyReg semantics: -ln = pyramid depth, -lp = how many of the
+    // COARSEST levels to actually perform (<= ln); "-ln 3 -lp 2" stops
+    // before full resolution
+    else if (a == "-ln") levels = std::atoi(next().c_str());
+    else if (a == "-lp") perform = std::atoi(next().c_str());
     else if (a == "-maxit") maxit = std::atoi(next().c_str());
     else if (a == "-voff") { }
     else { std::fprintf(stderr, "unknown arg %s\n", a.c_str()); return 1; }
@@ -298,10 +302,12 @@ int main(int argc, char** argv) {
       A[2][3] = fc.z - rc.z;
     }
 
-    for (int l = 0; l < levels; ++l) {
+    const int n_perform =
+        (perform > 0) ? std::min(perform, levels) : levels;
+    for (int l = 0; l < n_perform; ++l) {
       // too-coarse levels have too few blocks to be useful
       if (std::min({refs[l].nx(), refs[l].ny(), refs[l].nz()}) < 24) continue;
-      const bool full_dof = (l == levels - 1);
+      const bool full_dof = (l == n_perform - 1);
       for (int it = 0; it < maxit; ++it) {
         std::vector<Pair> pairs = block_match(refs[l], flos[l], A);
         if (pairs.size() < 8) break;

@@ -46,12 +46,17 @@ struct AxisWeights {
   std::vector<double> w;       // (n, 4) weights
 };
 
-AxisWeights axis_weights(int64_t n, double spacing) {
+AxisWeights axis_weights(int64_t n, double spacing, double vox_offset = 0.0) {
   AxisWeights aw;
   aw.base.resize(n);
   aw.w.resize(n * 4);
   for (int64_t v = 0; v < n; ++v) {
-    double u = v / spacing;
+    // vox_offset shifts this level's voxel coordinates into the canonical
+    // (finest-level) lattice frame: downsample2 maps coarse voxel v to fine
+    // voxel 2v+0.5, so the coarse level evaluates at u=(v+0.25)/(sp/2) —
+    // without it, the coarse lattice sits half a fine voxel off the frame
+    // the fine stage (and save_cpp) interprets the same control values in.
+    double u = (v + vox_offset) / spacing;
     int64_t b = (int64_t)std::floor(u);
     aw.base[v] = b;
     geom::bspline_weights(u - b, &aw.w[v * 4]);
@@ -113,12 +118,12 @@ inline int parzen_bins(double x01, double* w, double* dw) {
 // One optimization run at a given resolution level.
 void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
                     const std::vector<float>& d_affine, int iters, double be,
-                    bool use_nmi) {
+                    bool use_nmi, double vox_offset = 0.0) {
   const Affine flo_w2v = geom::inverse(flo.affine);
 
-  AxisWeights awx = axis_weights(ref.nx(), grid.spacing[0]);
-  AxisWeights awy = axis_weights(ref.ny(), grid.spacing[1]);
-  AxisWeights awz = axis_weights(ref.nz(), grid.spacing[2]);
+  AxisWeights awx = axis_weights(ref.nx(), grid.spacing[0], vox_offset);
+  AxisWeights awy = axis_weights(ref.ny(), grid.spacing[1], vox_offset);
+  AxisWeights awz = axis_weights(ref.nz(), grid.spacing[2], vox_offset);
 
   const int64_t ncx = grid.ncx, ncy = grid.ncy, ncz = grid.ncz;
   std::vector<double> g(ncx * ncy * ncz * 3);
@@ -126,6 +131,7 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
   double step_scale = 0.4;
   int stall = 0;
   std::vector<float> best_disp = grid.disp;
+  std::vector<double> best_g;  // gradient at best_disp (SSD trust region)
   std::vector<double> adam_m, adam_v;
   if (use_nmi) {
     adam_m.assign(ncx * ncy * ncz * 3, 0.0);
@@ -437,6 +443,7 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
     if (cost < best_cost) {
       best_cost = cost;
       best_disp = grid.disp;
+      if (!use_nmi) best_g = g;
     }
 
     double vox_mm = std::sqrt(ref.affine[0][0] * ref.affine[0][0] +
@@ -460,12 +467,16 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
     }
 
     // SSD: adaptive normalized step — on a cost increase, revert the last
-    // step and halve the trust region.
+    // step and halve the trust region. The gradient at the reverted point
+    // is already cached in best_g (re-running the full cost+gradient
+    // evaluation there would cost one extra whole-volume pass per
+    // trust-region halving), so fall straight through to the halved step.
     if (it > 0 && cost > prev_cost) {
       grid.disp = best_disp;
+      g = best_g;
+      cost = best_cost;
       step_scale *= 0.5;
       if (step_scale < 1e-3) break;
-      continue;  // recompute cost/gradient at the reverted point
     }
     if (it > 4 && prev_cost - cost < 1e-7 * std::fabs(prev_cost)) {
       if (++stall >= 3) break;  // three consecutive negligible improvements
@@ -617,7 +628,11 @@ int main(int argc, char** argv) {
     CppGrid coarse = grid;
     for (int j = 0; j < 3; ++j) coarse.spacing[j] = grid.spacing[j] / 2.0;
     coarse.ref_affine = ref1.affine;
-    optimize_level(ref1, flo1, coarse, d_affine, maxit, be, use_nmi);
+    // vox_offset 0.25: coarse voxel v sits at fine voxel 2v+0.5, so the
+    // coarse stage must evaluate the lattice at u=(v+0.25)/(sp/2) to keep
+    // control points on the same fine-frame positions the fine stage (and
+    // the baked d_affine anchors) interpret the values at
+    optimize_level(ref1, flo1, coarse, d_affine, maxit, be, use_nmi, 0.25);
     grid.disp = coarse.disp;
 
     optimize_level(ref0, flo0, grid, d_affine, std::max(4, maxit / 3), be,

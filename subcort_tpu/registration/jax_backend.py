@@ -82,6 +82,11 @@ def load_cpp_grid(path: str, ref_affine: np.ndarray) -> CppGrid:
         float(np.linalg.norm(img.affine[:3, j]) /
               (np.linalg.norm(ra[:3, j]) or 1.0))
         for j in range(3))
+    if not all(s > 0.0 for s in sp):
+        # a zeroed sform column means this 5D NIfTI is not a control grid;
+        # spacing 0 would divide by zero downstream (silent all-background
+        # resamples) — geometry.hpp::load_cpp applies the same guard
+        raise ValueError(f"{path}: not a SUBCORT_CPP grid (zero spacing {sp})")
     return CppGrid(jnp.asarray(disp), sp, ra)
 
 
@@ -151,13 +156,19 @@ def resample_through_affine(flo: np.ndarray, flo_affine: np.ndarray,
     return np.asarray(out)
 
 
-def _bspline_axis_matrix(n: int, spacing, nc: int) -> jnp.ndarray:
+def _bspline_axis_matrix(n: int, spacing, nc: int,
+                         vox_offset: float = 0.0) -> jnp.ndarray:
     """Dense (n, nc) cubic B-spline evaluation matrix for one axis: row v
     holds the 4 basis weights of voxel v against the clamped control
     lattice (clip-accumulated at the edges, matching the gather loop this
     replaces). Dense-banded on purpose: nc is tiny (~20-40), so the three
-    per-axis contractions ride the MXU instead of 64 serialized gathers."""
-    u = jnp.arange(n, dtype=jnp.float32) / spacing
+    per-axis contractions ride the MXU instead of 64 serialized gathers.
+
+    ``vox_offset`` shifts this level's voxel coordinates into the canonical
+    (finest-level) lattice frame — the half-resolution pyramid level maps
+    coarse voxel v to fine voxel 2v+0.5, so it evaluates at
+    u=(v+0.25)/(sp/2) (vox_offset=0.25); 0 = the canonical frame itself."""
+    u = (jnp.arange(n, dtype=jnp.float32) + vox_offset) / spacing
     b = jnp.floor(u).astype(jnp.int32)
     w = _bspline_weights(u - b)  # (n, 4)
     W = jnp.zeros((n, nc), jnp.float32)
@@ -167,7 +178,8 @@ def _bspline_axis_matrix(n: int, spacing, nc: int) -> jnp.ndarray:
     return W
 
 
-def bspline_dense_disp(disp: jnp.ndarray, spacing, shape) -> jnp.ndarray:
+def bspline_dense_disp(disp: jnp.ndarray, spacing, shape,
+                       vox_offset: float = 0.0) -> jnp.ndarray:
     """(ncx,ncy,ncz,3) control displacements -> (X,Y,Z,3) displacement at
     every reference voxel, as three separable tensor contractions.
 
@@ -181,9 +193,9 @@ def bspline_dense_disp(disp: jnp.ndarray, spacing, shape) -> jnp.ndarray:
     else:
         sx = sy = sz = spacing
     ncx, ncy, ncz = disp.shape[:3]
-    Wx = _bspline_axis_matrix(shape[0], sx, ncx)
-    Wy = _bspline_axis_matrix(shape[1], sy, ncy)
-    Wz = _bspline_axis_matrix(shape[2], sz, ncz)
+    Wx = _bspline_axis_matrix(shape[0], sx, ncx, vox_offset)
+    Wy = _bspline_axis_matrix(shape[1], sy, ncy, vox_offset)
+    Wz = _bspline_axis_matrix(shape[2], sz, ncz, vox_offset)
     t = jnp.einsum("xa,abck->xbck", Wx, disp, precision=_EXACT)
     t = jnp.einsum("yb,xbck->xyck", Wy, t, precision=_EXACT)
     return jnp.einsum("zc,xyck->xyzk", Wz, t, precision=_EXACT)

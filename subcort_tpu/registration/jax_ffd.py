@@ -47,12 +47,15 @@ def _grid_counts(shape, spacing) -> Tuple[int, int, int]:
                  for i, s in enumerate(shape))
 
 
-def _dense_disp(disp: jnp.ndarray, spacing, shape) -> jnp.ndarray:
+def _dense_disp(disp: jnp.ndarray, spacing, shape,
+                vox_offset: float = 0.0) -> jnp.ndarray:
     """(ncx,ncy,ncz,3) control displacements -> (X,Y,Z,3) world displacement
     at every reference voxel. Separable three-contraction evaluation
     (jax_backend.bspline_dense_disp) — the r3 64-term gather loop was the
-    FFD's dominant cost (VERDICT r3 weak-2)."""
-    return bspline_dense_disp(disp, spacing, shape)
+    FFD's dominant cost (VERDICT r3 weak-2). ``vox_offset`` places this
+    level's voxels in the canonical lattice frame (0.25 on the half-res
+    level; see _bspline_axis_matrix)."""
+    return bspline_dense_disp(disp, spacing, shape, vox_offset)
 
 
 def _bending(d: jnp.ndarray) -> jnp.ndarray:
@@ -146,11 +149,12 @@ def _nmi(ref01: jnp.ndarray, warped01: jnp.ndarray, nbins: int,
 
 
 @partial(jax.jit, static_argnames=("spacing", "iters", "lr", "cost", "nbins",
-                                   "jw"))
+                                   "jw", "vox_offset"))
 def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
                     spacing: Tuple[float, float, float], iters: int,
                     be: float, lr: float,
-                    cost: str = "ssd", nbins: int = 32, jw: float = 0.0):
+                    cost: str = "ssd", nbins: int = 32, jw: float = 0.0,
+                    vox_offset: float = 0.0):
     shape = ref.shape
     gx, gy, gz = jnp.meshgrid(jnp.arange(shape[0], dtype=jnp.float32),
                               jnp.arange(shape[1], dtype=jnp.float32),
@@ -170,7 +174,7 @@ def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
         fscale = 1.0 / jnp.maximum(flo_hi - flo_lo, 1e-8)
 
     def loss_fn(d):
-        dd = _dense_disp(d, spacing, shape)
+        dd = _dense_disp(d, spacing, shape, vox_offset)
         fw = ref_world + dd
         fw1 = jnp.concatenate([fw, jnp.ones(fw.shape[:-1] + (1,))], -1)
         fv = jnp.einsum("ij,xyzj->xyzi", flo_inv[:3, :], fw1,
@@ -269,12 +273,17 @@ def register_ffd_jax(ref: np.ndarray, flo: np.ndarray,
     flo_c, flo_affine_c = downsample2(flo_j, flo_affine)
 
     losses = []
+    # vox_offset 0.25: coarse voxel v sits at fine voxel 2v+0.5 (downsample2
+    # centroid convention), so the coarse lattice is evaluated at
+    # u=(v+0.25)/(sp/2) — the SAME fine-frame control positions the fine
+    # level, the baked d_affine anchors, and save_cpp interpret the values
+    # at (reg_f3d.cpp applies the identical offset).
     disp, l0 = _optimize_level(
         disp, d_aff, ref_c, flo_c,
         jnp.asarray(ref_affine_c, jnp.float32),
         jnp.asarray(np.linalg.inv(flo_affine_c), jnp.float32),
         tuple(s / 2.0 for s in spacing), int(iters[0]), be, lr_mm,
-        cost=cost, nbins=nbins, jw=float(fold_penalty))
+        cost=cost, nbins=nbins, jw=float(fold_penalty), vox_offset=0.25)
     losses.append(np.asarray(l0))
     # the fine level refines an almost-converged state: halve the step so
     # fresh Adam moment estimates don't overshoot it

@@ -549,3 +549,47 @@ def test_import_atlas_accepts_trailing_singleton_template(tmp_path):
     installed = np.asarray(load_nii(os.path.join(dest, "T1_template.nii.gz")).data)
     assert installed.shape == (24, 26, 22)
     np.testing.assert_allclose(installed, tmpl, rtol=1e-6)
+
+
+# ------------------------------------------------- corrupt-input robustness
+@needs_native
+def test_tools_reject_truncated_nifti(tmp_path, rng):
+    """A truncated .nii.gz (partial download / disk-full write) must fail
+    loudly — not feed garbage voxels downstream (nifti.hpp size checks)."""
+    vol = rng.random((20, 22, 18)).astype(np.float32)
+    ref = _save(tmp_path, "ref.nii.gz", vol)
+    bad = str(tmp_path / "trunc.nii.gz")
+    data = open(ref, "rb").read()
+    open(bad, "wb").write(data[: len(data) // 2])
+    aff = str(tmp_path / "id.txt")
+    np.savetxt(aff, np.eye(4))
+    r = subprocess.run(
+        [os.path.join(TOOLS, "reg_resample"), "-ref", ref, "-flo", bad,
+         "-aff", aff, "-res", str(tmp_path / "out.nii.gz")],
+        capture_output=True, text=True)
+    assert r.returncode != 0
+    # also truncate the *decompressed* payload (valid gzip, short voxels)
+    import gzip
+    raw = gzip.decompress(data)
+    bad2 = str(tmp_path / "short.nii.gz")
+    open(bad2, "wb").write(gzip.compress(raw[:400]))
+    r = subprocess.run(
+        [os.path.join(TOOLS, "reg_resample"), "-ref", ref, "-flo", bad2,
+         "-aff", aff, "-res", str(tmp_path / "out.nii.gz")],
+        capture_output=True, text=True)
+    assert r.returncode != 0 and "truncated" in (r.stderr + r.stdout)
+
+
+def test_load_cpp_grid_rejects_zero_spacing(tmp_path):
+    """A 5D NIfTI that is not a control grid (zeroed sform column) must be
+    rejected — spacing 0 would divide by zero into silent all-background
+    resamples (both runtimes apply the guard)."""
+    from subcort_tpu.registration.jax_backend import load_cpp_grid
+
+    disp = np.zeros((6, 6, 6, 1, 3), np.float32)
+    affine = np.eye(4)
+    affine[:3, 1] = 0.0  # zero column => spacing_y == 0
+    p = str(tmp_path / "notagrid.nii")
+    save_nii(NiftiImage(disp, affine), p)
+    with pytest.raises(ValueError, match="zero spacing"):
+        load_cpp_grid(p, np.eye(4))
