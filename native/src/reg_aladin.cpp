@@ -273,7 +273,7 @@ int main(int argc, char** argv) {
   if (ref_path.empty() || flo_path.empty() || aff_path.empty()) {
     std::fprintf(stderr,
                  "usage: reg_aladin -ref R -flo F -aff OUT.txt [-res OUT.nii] "
-                 "[-lp levels] [-maxit n]\n");
+                 "[-ln levels] [-lp perform] [-maxit n]\n");
     return 1;
   }
 

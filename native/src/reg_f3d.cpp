@@ -443,7 +443,7 @@ void optimize_level(const Image& ref, const Image& flo, CppGrid& grid,
     if (cost < best_cost) {
       best_cost = cost;
       best_disp = grid.disp;
-      if (!use_nmi) best_g = g;
+      best_g = g;  // both cost modes: the trust-region revert reuses it
     }
 
     double vox_mm = std::sqrt(ref.affine[0][0] * ref.affine[0][0] +

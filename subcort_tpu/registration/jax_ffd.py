@@ -35,7 +35,9 @@ import numpy as np
 import optax
 
 from subcort_tpu.io import NiftiImage, save_nii
-from subcort_tpu.registration.jax_backend import (_EXACT, CppGrid, _trilinear,
+from subcort_tpu.registration.jax_backend import (_EXACT, CppGrid,
+                                                  _ref_world_coords,
+                                                  _trilinear,
                                                   bspline_dense_disp,
                                                   downsample2, spacing3)
 
@@ -156,13 +158,7 @@ def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
                     cost: str = "ssd", nbins: int = 32, jw: float = 0.0,
                     vox_offset: float = 0.0):
     shape = ref.shape
-    gx, gy, gz = jnp.meshgrid(jnp.arange(shape[0], dtype=jnp.float32),
-                              jnp.arange(shape[1], dtype=jnp.float32),
-                              jnp.arange(shape[2], dtype=jnp.float32),
-                              indexing="ij")
-    vox = jnp.stack([gx, gy, gz, jnp.ones_like(gx)], -1)
-    ref_world = jnp.einsum("ij,xyzj->xyzi", ref_affine[:3, :], vox,
-                           precision=_EXACT)
+    ref_world = _ref_world_coords(shape, ref_affine)
 
     if cost == "nmi":
         # fixed normalization ranges: ref's own, and flo's extended to 0
