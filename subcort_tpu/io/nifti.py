@@ -6,7 +6,10 @@ This framework ships its own dependency-free NIfTI-1 implementation: a single
 (Fortran order), optionally gzipped. Covers everything the segmentation
 pipeline needs:
 
-- read/write ``.nii`` and ``.nii.gz``
+- read/write ``.nii`` and ``.nii.gz``, plus two-file ``.hdr``/``.img``
+  pairs (either member may be named, either/both may be gzipped) — the
+  other NIfTI-1 storage form nibabel accepts wherever the reference loads
+  a scan
 - 3D and 4D volumes (the 15-channel prior atlas is 4D, base.py:529)
 - dtype mapping for the codes that occur in MRI practice
 - ``scl_slope``/``scl_inter`` scaling on read
@@ -42,6 +45,29 @@ _DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 _HDR_SIZE = 348
 _MAGIC_SINGLE = b"n+1\x00"
+_MAGIC_PAIR = b"ni1\x00"
+
+
+def _pair_paths(path: str | os.PathLike):
+    """If ``path`` names one member of a ``.hdr``/``.img`` pair, return
+    ``(hdr_path, img_path)``; else None. The sibling is looked up both plain
+    and gzipped (``nibabel`` accepts mixed compression across the pair)."""
+    p = os.fspath(path)
+    stem = p[:-3] if p.endswith(".gz") else p
+    ext = stem[-4:].lower()
+    if ext not in (".hdr", ".img"):
+        return None
+    base = stem[:-4]
+
+    def _find(e: str) -> str:
+        for cand in (base + e, base + e + ".gz"):
+            if os.path.exists(cand):
+                return cand
+        return base + e  # let open() raise the natural FileNotFoundError
+
+    hdr = p if ext == ".hdr" else _find(".hdr")
+    img = p if ext == ".img" else _find(".img")
+    return hdr, img
 
 
 def _open_maybe_gz(path: str | os.PathLike, mode: str):
@@ -129,8 +155,10 @@ def _rotation_to_quaternion(R: np.ndarray):
 
 
 def load_nii(path: str | os.PathLike) -> NiftiImage:
-    """Read a ``.nii``/``.nii.gz`` file into a :class:`NiftiImage`."""
-    with _open_maybe_gz(path, "rb") as fh:
+    """Read a ``.nii``/``.nii.gz`` file — or either member of a
+    ``.hdr``/``.img`` pair — into a :class:`NiftiImage`."""
+    pair = _pair_paths(path)
+    with _open_maybe_gz(pair[0] if pair else path, "rb") as fh:
         raw = fh.read()
     if len(raw) < _HDR_SIZE:
         raise ValueError(f"{path}: truncated NIfTI header ({len(raw)} bytes)")
@@ -183,7 +211,17 @@ def load_nii(path: str | os.PathLike) -> NiftiImage:
         affine[0, 0], affine[1, 1], affine[2, 2] = pixdim[1], pixdim[2], pixdim[3]
 
     n_items = int(np.prod(shape)) if shape else 0
-    start = max(vox_offset, _HDR_SIZE)
+    if pair:
+        # two-file form: voxel data lives in the .img; vox_offset (usually 0)
+        # is an offset into that file
+        with _open_maybe_gz(pair[1], "rb") as fh:
+            raw = fh.read()
+        start = max(vox_offset, 0)
+    else:
+        start = max(vox_offset, _HDR_SIZE)
+    if len(raw) < start + n_items * dtype.itemsize:
+        raise ValueError(f"{path}: truncated NIfTI voxel data "
+                         f"({len(raw)} bytes, need {start + n_items * dtype.itemsize})")
     data = np.frombuffer(raw, dtype=dtype, count=n_items, offset=start)
     data = data.reshape(shape, order="F")
 
@@ -203,9 +241,20 @@ def load_nii(path: str | os.PathLike) -> NiftiImage:
     return NiftiImage(data, affine, header)
 
 
+def _write_voxels(fh, data: np.ndarray) -> None:
+    # stream the voxel data in F-order without materializing a second
+    # full-volume copy: F-order bytes of `data` == C-order bytes of
+    # `data.T`, chunked along the slowest F axis
+    ft = data.T if data.ndim > 1 else data.reshape(1, -1)
+    for i in range(ft.shape[0]):
+        fh.write(np.ascontiguousarray(ft[i]).tobytes())
+
+
 def save_nii(img: NiftiImage | np.ndarray, path: str | os.PathLike,
              affine: np.ndarray | None = None) -> None:
-    """Write a NIfTI-1 single file (.nii or .nii.gz)."""
+    """Write a NIfTI-1 file: single ``.nii``/``.nii.gz``, or a two-file
+    ``.hdr``/``.img`` pair when ``path`` names either member (the sibling is
+    written alongside with the same compression)."""
     if isinstance(img, np.ndarray):
         img = NiftiImage(img, affine)
     data = np.asarray(img.data)
@@ -260,13 +309,20 @@ def save_nii(img: NiftiImage | np.ndarray, path: str | os.PathLike,
     struct.pack_into("<3f", hdr, 256, qb, qc, qd)
     struct.pack_into("<3f", hdr, 268, affine[0, 3], affine[1, 3], affine[2, 3])
     struct.pack_into("<12f", hdr, 280, *affine[:3, :].ravel())
-    hdr[344:348] = _MAGIC_SINGLE
+    p = os.fspath(path)
+    stem = p[:-3] if p.endswith(".gz") else p
+    gz = ".gz" if p.endswith(".gz") else ""
+    if stem[-4:].lower() in (".hdr", ".img"):
+        base = stem[:-4]
+        struct.pack_into("<f", hdr, 108, 0.0)  # vox_offset is into the .img
+        hdr[344:348] = _MAGIC_PAIR
+        with _open_maybe_gz(base + ".hdr" + gz, "wb") as fh:
+            fh.write(bytes(hdr))
+        with _open_maybe_gz(base + ".img" + gz, "wb") as fh:
+            _write_voxels(fh, data)
+        return
 
+    hdr[344:348] = _MAGIC_SINGLE
     with _open_maybe_gz(path, "wb") as fh:
         fh.write(bytes(hdr) + b"\x00" * 4)
-        # stream the voxel data in F-order without materializing a second
-        # full-volume copy: F-order bytes of `data` == C-order bytes of
-        # `data.T`, chunked along the slowest F axis
-        ft = data.T if data.ndim > 1 else data.reshape(1, -1)
-        for i in range(ft.shape[0]):
-            fh.write(np.ascontiguousarray(ft[i]).tobytes())
+        _write_voxels(fh, data)

@@ -113,6 +113,54 @@ def test_big_endian_read(tmp_path):
     np.testing.assert_array_equal(img.data, data.astype(np.int16))
 
 
+@pytest.mark.parametrize("member", ["hdr", "img"])
+@pytest.mark.parametrize("gz", ["", ".gz"])
+def test_hdr_img_pair_roundtrip(tmp_path, rng, member, gz):
+    """Two-file NIfTI-1 pairs (the other storage form nibabel reads) load
+    identically whichever member is named, plain or gzipped."""
+    affine = np.diag([1.0, 1.2, 3.0, 1.0])
+    affine[:3, 3] = (-90.0, -126.0, -72.0)
+    data = (rng.random((9, 7, 5)) * 200).astype(np.int16)
+    save_nii(NiftiImage(data, affine), str(tmp_path / f"pair.{member}{gz}"))
+    assert (tmp_path / f"pair.hdr{gz}").exists()
+    assert (tmp_path / f"pair.img{gz}").exists()
+    for name in (f"pair.hdr{gz}", f"pair.img{gz}"):
+        img = load_nii(str(tmp_path / name))
+        np.testing.assert_array_equal(img.data, data)
+        assert img.data.dtype == np.int16
+        np.testing.assert_allclose(img.affine, affine, atol=1e-5)
+    # pair headers carry the "ni1" magic and vox_offset 0
+    opener = gzip.open if gz else open
+    with opener(str(tmp_path / f"pair.hdr{gz}"), "rb") as fh:
+        hdr = fh.read()
+    assert hdr[344:348] == b"ni1\x00"
+    assert struct.unpack_from("<f", hdr, 108)[0] == 0.0
+    with opener(str(tmp_path / f"pair.img{gz}"), "rb") as fh:
+        vox = np.frombuffer(fh.read(), dtype=np.int16)
+    np.testing.assert_array_equal(vox, data.ravel(order="F"))
+
+
+def test_hdr_img_pair_mixed_compression(tmp_path, rng):
+    """nibabel tolerates e.g. plain .hdr next to gzipped .img — so do we."""
+    data = (rng.random((4, 5, 6)) * 50).astype(np.float32)
+    save_nii(NiftiImage(data), str(tmp_path / "mix.hdr"))
+    (tmp_path / "mix.img").rename(tmp_path / "mix.img.tmp")
+    with open(str(tmp_path / "mix.img.tmp"), "rb") as src, \
+            gzip.open(str(tmp_path / "mix.img.gz"), "wb") as dst:
+        dst.write(src.read())
+    (tmp_path / "mix.img.tmp").unlink()
+    img = load_nii(str(tmp_path / "mix.hdr"))
+    np.testing.assert_array_equal(img.data, data)
+
+
+def test_hdr_pair_missing_img_raises(tmp_path, rng):
+    save_nii(NiftiImage(np.zeros((2, 2, 2), np.uint8)),
+             str(tmp_path / "lone.hdr"))
+    (tmp_path / "lone.img").unlink()
+    with pytest.raises(FileNotFoundError):
+        load_nii(str(tmp_path / "lone.hdr"))
+
+
 def test_reject_non_nifti(tmp_path):
     path = str(tmp_path / "junk.nii")
     with open(path, "wb") as fh:
