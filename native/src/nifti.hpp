@@ -2,14 +2,17 @@
 //
 // Same byte-format subset as subcort_tpu/io/nifti.py (the two
 // implementations are pinned together by tests/test_registration.py):
-// single-file .nii / .nii.gz, 3D/4D volumes, little-endian, the common
-// datatype codes, sform/qform affines, scl_slope/inter applied on read.
+// single-file .nii / .nii.gz plus two-file .hdr/.img pairs (either member
+// may be named, either/both gzipped), 3D/4D volumes, little-endian, the
+// common datatype codes, sform/qform affines, scl_slope/inter applied on
+// read.
 // All volumes are held as float32 in x-fastest (Fortran) order.
 #pragma once
 
 #include <zlib.h>
 
 #include <array>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -116,6 +119,34 @@ inline bool ends_with(const std::string& s, const std::string& suf) {
          s.compare(s.size() - suf.size(), suf.size(), suf) == 0;
 }
 
+inline bool file_exists(const std::string& path) {
+  FILE* f = std::fopen(path.c_str(), "rb");
+  if (f) std::fclose(f);
+  return f != nullptr;
+}
+
+// If `path` names one member of a .hdr/.img pair, fill (hdr_path, img_path)
+// — the sibling looked up plain then gzipped, like the Python twin — and
+// return true. Single-file .nii(.gz) returns false.
+inline bool pair_paths(const std::string& path, std::string& hdr_path,
+                       std::string& img_path) {
+  std::string stem = ends_with(path, ".gz")
+                         ? path.substr(0, path.size() - 3) : path;
+  if (stem.size() < 4) return false;
+  std::string ext = stem.substr(stem.size() - 4);
+  for (char& c : ext) c = (char)std::tolower((unsigned char)c);
+  if (ext != ".hdr" && ext != ".img") return false;
+  const std::string base = stem.substr(0, stem.size() - 4);
+  auto find = [&](const char* e) {
+    if (file_exists(base + e)) return base + e;
+    if (file_exists(base + e + std::string(".gz"))) return base + e + std::string(".gz");
+    return base + e;  // let read_file raise the natural open error
+  };
+  hdr_path = (ext == ".hdr") ? path : find(".hdr");
+  img_path = (ext == ".img") ? path : find(".img");
+  return true;
+}
+
 inline std::vector<char> read_file(const std::string& path) {
   std::vector<char> out;
   if (ends_with(path, ".gz")) {
@@ -182,7 +213,9 @@ inline void convert_to_float(const char* src, int64_t n, float slope,
 }
 
 inline Image load(const std::string& path) {
-  std::vector<char> raw = read_file(path);
+  std::string hdr_path, img_path;
+  const bool pair = pair_paths(path, hdr_path, img_path);
+  std::vector<char> raw = read_file(pair ? hdr_path : path);
   if (raw.size() < sizeof(Header)) throw std::runtime_error(path + ": truncated");
   Header h;
   std::memcpy(&h, raw.data(), sizeof h);
@@ -202,7 +235,15 @@ inline Image load(const std::string& path) {
   }
   float slope = (h.scl_slope == 0.0f) ? 1.0f : h.scl_slope;
   float inter = h.scl_inter;
-  size_t off = (size_t)std::max(h.vox_offset, 348.0f);
+  size_t off;
+  if (pair) {
+    // two-file form: voxel data lives in the .img; vox_offset (usually 0)
+    // is an offset into that file
+    raw = read_file(img_path);
+    off = (size_t)std::max(h.vox_offset, 0.0f);
+  } else {
+    off = (size_t)std::max(h.vox_offset, 348.0f);
+  }
   size_t esize;
   switch (h.datatype) {
     case 2: case 256: esize = 1; break;
@@ -293,8 +334,28 @@ inline void save(const Image& img, const std::string& path,
     h.srow_z[j] = (float)img.affine[2][j];
   }
   if (intent_name) std::strncpy(h.intent_name, intent_name, 15);
-  std::memcpy(h.magic, "n+1", 4);
 
+  std::string stem = ends_with(path, ".gz")
+                         ? path.substr(0, path.size() - 3) : path;
+  std::string ext = stem.size() >= 4 ? stem.substr(stem.size() - 4) : "";
+  for (char& c : ext) c = (char)std::tolower((unsigned char)c);
+  if (ext == ".hdr" || ext == ".img") {
+    // two-file pair: header (ni1 magic, vox_offset into the .img) + raw
+    // voxels, each member with the same compression as the named path
+    const std::string base = stem.substr(0, stem.size() - 4);
+    const std::string gz = ends_with(path, ".gz") ? ".gz" : "";
+    h.vox_offset = 0.0f;
+    std::memcpy(h.magic, "ni1", 4);
+    std::vector<char> hbytes(sizeof h);
+    std::memcpy(hbytes.data(), &h, sizeof h);
+    write_file(base + ".hdr" + gz, hbytes);
+    std::vector<char> vbytes(img.data.size() * 4);
+    std::memcpy(vbytes.data(), img.data.data(), img.data.size() * 4);
+    write_file(base + ".img" + gz, vbytes);
+    return;
+  }
+
+  std::memcpy(h.magic, "n+1", 4);
   std::vector<char> bytes(352 + img.data.size() * 4, 0);
   std::memcpy(bytes.data(), &h, sizeof h);
   std::memcpy(bytes.data() + 352, img.data.data(), img.data.size() * 4);

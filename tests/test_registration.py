@@ -551,6 +551,23 @@ def test_import_atlas_accepts_trailing_singleton_template(tmp_path):
     np.testing.assert_allclose(installed, tmpl, rtol=1e-6)
 
 
+@needs_native
+def test_tools_read_write_hdr_img_pairs(tmp_path, rng):
+    """The C++ runtime accepts two-file .hdr/.img scans like NiftyReg (and
+    nibabel) do, and both runtimes agree on the pair byte format."""
+    vol = rng.random((18, 20, 16)).astype(np.float32)
+    flo = str(tmp_path / "flo.hdr")
+    save_nii(NiftiImage(vol), flo)  # Python writes the pair
+    ref = _save(tmp_path, "ref.nii.gz", np.zeros_like(vol))
+    aff = str(tmp_path / "id.txt")
+    np.savetxt(aff, np.eye(4))
+    out = str(tmp_path / "out.img.gz")  # tool writes a (gzipped) pair
+    _run("reg_resample", "-ref", ref, "-flo", flo, "-aff", aff, "-res", out)
+    assert os.path.exists(str(tmp_path / "out.hdr.gz"))
+    got = load_nii(out).data  # Python reads the tool's pair back
+    np.testing.assert_allclose(got, vol, atol=1e-5)
+
+
 # ------------------------------------------------- corrupt-input robustness
 @needs_native
 def test_tools_reject_truncated_nifti(tmp_path, rng):
