@@ -133,14 +133,24 @@ inline bool pair_paths(const std::string& path, std::string& hdr_path,
   std::string stem = ends_with(path, ".gz")
                          ? path.substr(0, path.size() - 3) : path;
   if (stem.size() < 4) return false;
-  std::string ext = stem.substr(stem.size() - 4);
+  const std::string raw_ext = stem.substr(stem.size() - 4);
+  std::string ext = raw_ext;
   for (char& c : ext) c = (char)std::tolower((unsigned char)c);
   if (ext != ".hdr" && ext != ".img") return false;
   const std::string base = stem.substr(0, stem.size() - 4);
-  auto find = [&](const char* e) {
-    if (file_exists(base + e)) return base + e;
-    if (file_exists(base + e + std::string(".gz"))) return base + e + std::string(".gz");
-    return base + e;  // let read_file raise the natural open error
+  // legacy ANALYZE datasets are often all-uppercase SCAN.HDR/SCAN.IMG —
+  // probe the named member's case style first, then the other spellings
+  const bool upper = raw_ext != ext;
+  auto find = [&](std::string e) {
+    std::string eu = e;
+    for (char& c : eu) c = (char)std::toupper((unsigned char)c);
+    const std::string styled = upper ? eu : e;
+    const std::string cands[4] = {base + styled, base + styled + ".gz",
+                                  base + (upper ? e : eu),
+                                  base + (upper ? e : eu) + ".gz"};
+    for (const auto& cand : cands)
+      if (file_exists(cand)) return cand;
+    return base + styled;  // let read_file raise the natural open error
   };
   hdr_path = (ext == ".hdr") ? path : find(".hdr");
   img_path = (ext == ".img") ? path : find(".img");
@@ -337,21 +347,27 @@ inline void save(const Image& img, const std::string& path,
 
   std::string stem = ends_with(path, ".gz")
                          ? path.substr(0, path.size() - 3) : path;
-  std::string ext = stem.size() >= 4 ? stem.substr(stem.size() - 4) : "";
+  const std::string raw_ext = stem.size() >= 4 ? stem.substr(stem.size() - 4) : "";
+  std::string ext = raw_ext;
   for (char& c : ext) c = (char)std::tolower((unsigned char)c);
   if (ext == ".hdr" || ext == ".img") {
     // two-file pair: header (ni1 magic, vox_offset into the .img) + raw
-    // voxels, each member with the same compression as the named path
+    // voxels, each member with the same compression as the named path.
+    // Keep the exact name the caller passed; the sibling follows its case
+    // style (SCAN.IMG -> SCAN.HDR, scan.img -> scan.hdr).
     const std::string base = stem.substr(0, stem.size() - 4);
     const std::string gz = ends_with(path, ".gz") ? ".gz" : "";
+    const bool upper = raw_ext != ext;
+    const std::string hdr_ext = (ext == ".hdr") ? raw_ext : (upper ? ".HDR" : ".hdr");
+    const std::string img_ext = (ext == ".img") ? raw_ext : (upper ? ".IMG" : ".img");
     h.vox_offset = 0.0f;
     std::memcpy(h.magic, "ni1", 4);
     std::vector<char> hbytes(sizeof h);
     std::memcpy(hbytes.data(), &h, sizeof h);
-    write_file(base + ".hdr" + gz, hbytes);
+    write_file(base + hdr_ext + gz, hbytes);
     std::vector<char> vbytes(img.data.size() * 4);
     std::memcpy(vbytes.data(), img.data.data(), img.data.size() * 4);
-    write_file(base + ".img" + gz, vbytes);
+    write_file(base + img_ext + gz, vbytes);
     return;
   }
 

@@ -259,11 +259,11 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
                 perm = np.argsort(is_bg, kind="stable")  # non-bg first
                 cs = cs[perm]
                 lin = lin[perm]
-                vecs = vecs[perm][:min(d_pad, m)]
-                if len(vecs) < d_pad:
-                    vecs = np.concatenate(
-                        [vecs, np.broadcast_to(pat, (d_pad - len(vecs),
-                                                     len(pat)))], axis=0)
+                vecs = vecs[perm][:d_pad]
+                # d_pad < m_pad forces m > m_pad/2 >= d_pad (pow2 rungs), so
+                # the truncated prefix always has exactly d_pad rows — the
+                # rows cut are bg-pattern rows the device re-appends.
+                assert len(vecs) == d_pad
             else:
                 vecs = np.pad(vecs, ((0, m_pad - m), (0, 0)))
             lin = np.pad(lin, (0, m_pad - m))
@@ -529,7 +529,7 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     else:
         norm = (image.astype(np.float32) - np.float32(mean)) * np.float32(1.0 / std)
         if not use_pallas:
-            norm = norm.astype(dev_dtype)
+            norm = norm.astype(dev_dtype, copy=False)  # no-op for f32 scans
         padded = pad_volume(jnp.asarray(norm))
     vecs = _atlas_vectors_host(atlas, centers)
 

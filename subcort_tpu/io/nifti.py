@@ -54,19 +54,24 @@ def _pair_paths(path: str | os.PathLike):
     and gzipped (``nibabel`` accepts mixed compression across the pair)."""
     p = os.fspath(path)
     stem = p[:-3] if p.endswith(".gz") else p
-    ext = stem[-4:].lower()
-    if ext not in (".hdr", ".img"):
+    ext = stem[-4:]
+    if ext.lower() not in (".hdr", ".img"):
         return None
     base = stem[:-4]
 
     def _find(e: str) -> str:
-        for cand in (base + e, base + e + ".gz"):
-            if os.path.exists(cand):
-                return cand
-        return base + e  # let open() raise the natural FileNotFoundError
+        # Probe the named member's case style first (legacy ANALYZE/SPM
+        # datasets are often all-uppercase SCAN.HDR/SCAN.IMG), then the
+        # other common spellings.
+        styled = e.upper() if ext.isupper() else e
+        for ce in dict.fromkeys((styled, e, e.upper())):
+            for cand in (base + ce, base + ce + ".gz"):
+                if os.path.exists(cand):
+                    return cand
+        return base + styled  # let open() raise the natural FileNotFoundError
 
-    hdr = p if ext == ".hdr" else _find(".hdr")
-    img = p if ext == ".img" else _find(".img")
+    hdr = p if ext.lower() == ".hdr" else _find(".hdr")
+    img = p if ext.lower() == ".img" else _find(".img")
     return hdr, img
 
 
@@ -312,13 +317,18 @@ def save_nii(img: NiftiImage | np.ndarray, path: str | os.PathLike,
     p = os.fspath(path)
     stem = p[:-3] if p.endswith(".gz") else p
     gz = ".gz" if p.endswith(".gz") else ""
-    if stem[-4:].lower() in (".hdr", ".img"):
+    ext = stem[-4:]
+    if ext.lower() in (".hdr", ".img"):
         base = stem[:-4]
+        # keep the exact name the caller passed; the sibling follows its
+        # case style (SCAN.IMG -> SCAN.HDR, scan.img -> scan.hdr)
+        hdr_ext = ext if ext.lower() == ".hdr" else (".HDR" if ext.isupper() else ".hdr")
+        img_ext = ext if ext.lower() == ".img" else (".IMG" if ext.isupper() else ".img")
         struct.pack_into("<f", hdr, 108, 0.0)  # vox_offset is into the .img
         hdr[344:348] = _MAGIC_PAIR
-        with _open_maybe_gz(base + ".hdr" + gz, "wb") as fh:
+        with _open_maybe_gz(base + hdr_ext + gz, "wb") as fh:
             fh.write(bytes(hdr))
-        with _open_maybe_gz(base + ".img" + gz, "wb") as fh:
+        with _open_maybe_gz(base + img_ext + gz, "wb") as fh:
             _write_voxels(fh, data)
         return
 

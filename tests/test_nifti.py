@@ -140,6 +140,24 @@ def test_hdr_img_pair_roundtrip(tmp_path, rng, member, gz):
     np.testing.assert_array_equal(vox, data.ravel(order="F"))
 
 
+def test_hdr_img_pair_uppercase(tmp_path, rng):
+    """Legacy ANALYZE/SPM datasets are often all-uppercase SCAN.HDR/SCAN.IMG.
+    save_nii must create the exact path the caller passed (sibling in the
+    same case style) and load_nii must find the uppercase sibling."""
+    data = (rng.random((6, 5, 4)) * 100).astype(np.int16)
+    save_nii(NiftiImage(data), str(tmp_path / "SCAN.IMG"))
+    assert (tmp_path / "SCAN.IMG").exists()
+    assert (tmp_path / "SCAN.HDR").exists()
+    for name in ("SCAN.IMG", "SCAN.HDR"):
+        img = load_nii(str(tmp_path / name))
+        np.testing.assert_array_equal(img.data, data)
+    # mixed case across the pair: uppercase member named, lowercase sibling
+    (tmp_path / "SCAN.HDR").rename(tmp_path / "scan2.hdr")
+    (tmp_path / "SCAN.IMG").rename(tmp_path / "scan2.IMG")
+    img = load_nii(str(tmp_path / "scan2.IMG"))
+    np.testing.assert_array_equal(img.data, data)
+
+
 def test_hdr_img_pair_mixed_compression(tmp_path, rng):
     """nibabel tolerates e.g. plain .hdr next to gzipped .img — so do we."""
     data = (rng.random((4, 5, 6)) * 50).astype(np.float32)

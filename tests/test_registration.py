@@ -567,6 +567,17 @@ def test_tools_read_write_hdr_img_pairs(tmp_path, rng):
     got = load_nii(out).data  # Python reads the tool's pair back
     np.testing.assert_allclose(got, vol, atol=1e-5)
 
+    # legacy all-uppercase ANALYZE naming: the tool must find the .HDR
+    # sibling of a named .IMG and write the pair under the exact case asked
+    os.rename(str(tmp_path / "flo.hdr"), str(tmp_path / "FLO.HDR"))
+    os.rename(str(tmp_path / "flo.img"), str(tmp_path / "FLO.IMG"))
+    out2 = str(tmp_path / "OUT2.IMG")
+    _run("reg_resample", "-ref", ref, "-flo", str(tmp_path / "FLO.IMG"),
+         "-aff", aff, "-res", out2)
+    assert os.path.exists(out2)
+    assert os.path.exists(str(tmp_path / "OUT2.HDR"))
+    np.testing.assert_allclose(load_nii(out2).data, vol, atol=1e-5)
+
 
 # ------------------------------------------------- corrupt-input robustness
 @needs_native
