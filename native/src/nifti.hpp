@@ -139,8 +139,13 @@ inline bool pair_paths(const std::string& path, std::string& hdr_path,
   if (ext != ".hdr" && ext != ".img") return false;
   const std::string base = stem.substr(0, stem.size() - 4);
   // legacy ANALYZE datasets are often all-uppercase SCAN.HDR/SCAN.IMG —
-  // probe the named member's case style first, then the other spellings
-  const bool upper = raw_ext != ext;
+  // probe the named member's case style first, then the other spellings.
+  // "uppercase style" means the extension is FULLY uppercase (mixed case
+  // like .Img follows the lowercase convention) — the same rule as the
+  // Python twin's str.isupper(), so both runtimes name siblings alike.
+  std::string ext_up = raw_ext;
+  for (char& c : ext_up) c = (char)std::toupper((unsigned char)c);
+  const bool upper = raw_ext == ext_up;
   auto find = [&](std::string e) {
     std::string eu = e;
     for (char& c : eu) c = (char)std::toupper((unsigned char)c);
@@ -354,10 +359,15 @@ inline void save(const Image& img, const std::string& path,
     // two-file pair: header (ni1 magic, vox_offset into the .img) + raw
     // voxels, each member with the same compression as the named path.
     // Keep the exact name the caller passed; the sibling follows its case
-    // style (SCAN.IMG -> SCAN.HDR, scan.img -> scan.hdr).
+    // style (SCAN.IMG -> SCAN.HDR, scan.img -> scan.hdr). Uppercase style
+    // requires a FULLY uppercase extension (mixed case like .Img gets a
+    // lowercase sibling) — the same rule as the Python twin's
+    // str.isupper(), so both runtimes produce identical file sets.
     const std::string base = stem.substr(0, stem.size() - 4);
     const std::string gz = ends_with(path, ".gz") ? ".gz" : "";
-    const bool upper = raw_ext != ext;
+    std::string ext_up = raw_ext;
+    for (char& c : ext_up) c = (char)std::toupper((unsigned char)c);
+    const bool upper = raw_ext == ext_up;
     const std::string hdr_ext = (ext == ".hdr") ? raw_ext : (upper ? ".HDR" : ".hdr");
     const std::string img_ext = (ext == ".img") ? raw_ext : (upper ? ".IMG" : ".img");
     h.vox_offset = 0.0f;

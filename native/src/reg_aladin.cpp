@@ -2,7 +2,10 @@
 // reference's NiftyReg usage (cnn_cort/base.py:510-513):
 //
 //   reg_aladin -ref <ref> -flo <flo> -aff <transf.txt> -res <resampled>
-//              [-lp <levels>] [-maxit <iters/level>]
+//              [-ln <levels>] [-lp <levels-to-perform>] [-maxit <iters/level>]
+//
+// -ln/-lp follow NiftyReg: -ln sets the pyramid depth, -lp how many of the
+// coarsest levels to actually run (clamped to -ln, with a note on stderr).
 //
 // Algorithm (classic Ourselin-style block matching, written from the
 // method description, not from NiftyReg sources):
@@ -302,6 +305,10 @@ int main(int argc, char** argv) {
       A[2][3] = fc.z - rc.z;
     }
 
+    if (perform > levels)
+      std::fprintf(stderr,
+                   "[reg_aladin] -lp %d exceeds -ln %d; performing %d "
+                   "level(s)\n", perform, levels, levels);
     const int n_perform =
         (perform > 0) ? std::min(perform, levels) : levels;
     for (int l = 0; l < n_perform; ++l) {

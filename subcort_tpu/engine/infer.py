@@ -351,40 +351,47 @@ def _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
         _fcn_scatter_results(labels_b, probs_b, lo, dims, centers, cs,
                              label_vol, prob_vol, want_probs)
 
-    for i, (lo, dims) in enumerate(bboxes):
-        dev = devices[i % len(devices)]
-        if dev not in params_per_dev:
-            params_per_dev[dev] = (params if dev is None
-                                   else jax.device_put(params, dev))
-        slab, vecs, cs, gather_idx, norm = preps[i].result()
-        if slab is None:
-            continue  # no candidates in this sub-bbox
-        if norm is None:
-            slab_d = jnp.asarray(slab, dev_dtype)
-            norm_d = None
-        else:
-            # raw narrow-integer bytes over the wire; normalization happens
-            # on device in f32 (host-path-exact) then casts to dev_dtype
-            slab_d = jnp.asarray(slab)
-            scal, nlo, nhi = norm
-            norm_d = (jnp.asarray(scal), jnp.asarray(nlo),
-                      jnp.asarray(nhi), jnp.zeros((), dev_dtype))
-        vecs_d = jnp.asarray(vecs)
-        idx_d = None if gather_idx is None else jnp.asarray(gather_idx)
-        if dev is not None:
-            slab_d = jax.device_put(slab_d, dev)
-            vecs_d = jax.device_put(vecs_d, dev)
-            idx_d = None if idx_d is None else jax.device_put(idx_d, dev)
-            norm_d = (None if norm_d is None
-                      else tuple(jax.device_put(n, dev) for n in norm_d))
-        labels_b, probs_b = fcn_forward_slab(
-            params_per_dev[dev], slab_d, vecs_d, want_probs, spec,
-            probs_dtype=jnp.dtype(probs_dtype).name, gather_idx=idx_d,
-            norm=norm_d)
-        pending.append((labels_b, probs_b, lo, dims, cs))
-        while len(pending) > max_inflight:
-            drain_one()
-    pool.shutdown(wait=False)
+    try:
+        for i, (lo, dims) in enumerate(bboxes):
+            dev = devices[i % len(devices)]
+            if dev not in params_per_dev:
+                params_per_dev[dev] = (params if dev is None
+                                       else jax.device_put(params, dev))
+            slab, vecs, cs, gather_idx, norm = preps[i].result()
+            if slab is None:
+                continue  # no candidates in this sub-bbox
+            if norm is None:
+                slab_d = jnp.asarray(slab, dev_dtype)
+                norm_d = None
+            else:
+                # raw narrow-integer bytes over the wire; normalization
+                # happens on device in f32 (host-path-exact) then casts to
+                # dev_dtype
+                slab_d = jnp.asarray(slab)
+                scal, nlo, nhi = norm
+                norm_d = (jnp.asarray(scal), jnp.asarray(nlo),
+                          jnp.asarray(nhi), jnp.zeros((), dev_dtype))
+            vecs_d = jnp.asarray(vecs)
+            idx_d = None if gather_idx is None else jnp.asarray(gather_idx)
+            if dev is not None:
+                slab_d = jax.device_put(slab_d, dev)
+                vecs_d = jax.device_put(vecs_d, dev)
+                idx_d = None if idx_d is None else jax.device_put(idx_d, dev)
+                norm_d = (None if norm_d is None
+                          else tuple(jax.device_put(n, dev) for n in norm_d))
+            labels_b, probs_b = fcn_forward_slab(
+                params_per_dev[dev], slab_d, vecs_d, want_probs, spec,
+                probs_dtype=jnp.dtype(probs_dtype).name, gather_idx=idx_d,
+                norm=norm_d)
+            pending.append((labels_b, probs_b, lo, dims, cs))
+            while len(pending) > max_inflight:
+                drain_one()
+    finally:
+        # a raising slab (corrupt prior, device error) must not leak the
+        # pool: cancel queued preps so the worker thread stops cutting
+        # slabs for a run that is already dead (1-core host — stray prep
+        # work contends with whatever runs next)
+        pool.shutdown(wait=False, cancel_futures=True)
     while pending:
         drain_one()
 
@@ -474,21 +481,29 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             # +probs 10.3 MB -> split-2, fast 4.4 MB -> single;
             # BENCH_SELF_r04.json timings).
             m_rows = min(_round_up_pow2(n), vox)
-            # prior rows that are pure background never cross the wire
-            # (_fcn_slab_inputs compacts them); estimate the shipped
-            # fraction from a stride-64 candidate subsample (~3k rows)
-            # through the SAME predicate the compaction applies (fix-up +
-            # quantize + pattern equality), then round the estimated
-            # non-bg count to its pow2 rung — exactly the prefix the
-            # compaction ships
-            sub = centers[::64]
-            sv = _quantize_priors(_atlas_vectors_host(atlas, sub),
-                                  prior_dtype)
-            dense_frac = float(
-                (sv != _bg_prior_pattern(sv.shape[1], prior_dtype))
-                .any(axis=1).mean())
-            prior_rows = min(m_rows,
-                             _round_up_pow2(int(n * dense_frac) + 1))
+            if m_rows >= vox:
+                # candidates ~fill the bbox: _fcn_slab_inputs falls through
+                # to dense mode, which ships a prior row for EVERY bbox
+                # voxel — no compaction applies, so estimate accordingly
+                # (the sparse formula below would undercount by the bg
+                # fraction and could leave the slow-link split off)
+                prior_rows = vox
+            else:
+                # prior rows that are pure background never cross the wire
+                # (_fcn_slab_inputs compacts them); estimate the shipped
+                # fraction from a stride-64 candidate subsample (~3k rows)
+                # through the SAME predicate the compaction applies (fix-up
+                # + quantize + pattern equality), then round the estimated
+                # non-bg count to its pow2 rung — exactly the prefix the
+                # compaction ships
+                sub = centers[::64]
+                sv = _quantize_priors(_atlas_vectors_host(atlas, sub),
+                                      prior_dtype)
+                dense_frac = float(
+                    (sv != _bg_prior_pattern(sv.shape[1], prior_dtype))
+                    .any(axis=1).mean())
+                prior_rows = min(m_rows,
+                                 _round_up_pow2(int(n * dense_frac) + 1))
             from subcort_tpu.models.fcn import RF
             slab_vox = int(np.prod(np.asarray(dims, np.int64) + RF))
             wire = (slab_vox * (2 if image.dtype.kind in "iu" and
@@ -727,12 +742,16 @@ def test_scan(params, scan_path: str, options: Options,
     else:
         # pin wall_seconds now: emit() runs later on the writer thread,
         # where time.time() would absorb queue wait + later scans' device
-        # work. NOTE the measurement semantics differ by mode — serial
-        # stats cover segment + post-process + write; pipelined stats (and
-        # the returned minutes, since loading happened in the prefetch
-        # thread) cover the segmentation stage only.
+        # work — and pin the returned minutes BEFORE submit(), which can
+        # block on an older scan's write once the bounded queue is full.
+        # NOTE the measurement semantics differ by mode — serial stats
+        # cover segment + post-process + write; pipelined stats (and the
+        # returned minutes, since loading happened in the prefetch thread)
+        # cover the segmentation stage only.
         stats.stop()
+        elapsed = time.time() - s_time
         _writer.submit(write_outputs)
+        return elapsed / 60.0
     return (time.time() - s_time) / 60.0
 
 

@@ -158,6 +158,20 @@ def test_hdr_img_pair_uppercase(tmp_path, rng):
     np.testing.assert_array_equal(img.data, data)
 
 
+def test_hdr_img_pair_mixed_case_sibling(tmp_path, rng):
+    """Uppercase sibling style requires a FULLY uppercase extension: a
+    mixed-case name like scan.Img gets a lowercase .hdr sibling. Pinned
+    because the C++ runtime (native/src/nifti.hpp) applies the same rule —
+    both runtimes must produce identical file sets from the same argument."""
+    data = (rng.random((4, 4, 3)) * 100).astype(np.int16)
+    save_nii(NiftiImage(data), str(tmp_path / "scan.Img"))
+    assert (tmp_path / "scan.Img").exists()
+    assert (tmp_path / "scan.hdr").exists()
+    assert not (tmp_path / "scan.HDR").exists()
+    img = load_nii(str(tmp_path / "scan.Img"))
+    np.testing.assert_array_equal(img.data, data)
+
+
 def test_hdr_img_pair_mixed_compression(tmp_path, rng):
     """nibabel tolerates e.g. plain .hdr next to gzipped .img — so do we."""
     data = (rng.random((4, 5, 6)) * 50).astype(np.float32)

@@ -578,6 +578,17 @@ def test_tools_read_write_hdr_img_pairs(tmp_path, rng):
     assert os.path.exists(str(tmp_path / "OUT2.HDR"))
     np.testing.assert_allclose(load_nii(out2).data, vol, atol=1e-5)
 
+    # mixed-case extension (.Img) follows the LOWERCASE sibling convention —
+    # same rule as Python's str.isupper()-based one, so both runtimes
+    # produce identical file sets from the same argument
+    out3 = str(tmp_path / "out3.Img")
+    _run("reg_resample", "-ref", ref, "-flo", str(tmp_path / "FLO.IMG"),
+         "-aff", aff, "-res", out3)
+    assert os.path.exists(out3)
+    assert os.path.exists(str(tmp_path / "out3.hdr"))
+    assert not os.path.exists(str(tmp_path / "out3.HDR"))
+    np.testing.assert_allclose(load_nii(out3).data, vol, atol=1e-5)
+
 
 # ------------------------------------------------- corrupt-input robustness
 @needs_native
