@@ -3,16 +3,17 @@
 //
 //   reg_f3d -ref <ref> -flo <flo> [-aff <transf.txt>] -cpp <transform.nii>
 //           -res <resampled> [-sx <spacing_mm>] [-maxit <n>] [-be <w>]
-//           [-nmi]
+//           [-nmi | -ssd]
 //
 // Model: total world displacement d(x) on a uniform cubic B-spline control
 // grid over the reference (geometry.hpp SUBCORT_CPP contract; the affine
 // initialization is baked into the control values, so downstream resampling
 // needs only the grid). Cost = D(ref, flo∘T) + be * ||Δ(d - d_affine)||²
-// where D is SSD by default or, with -nmi, 2 - NMI from a Parzen-window
+// where D is, by default, 2 - NMI from a Parzen-window
 // (cubic B-spline kernel) joint histogram — the reference's NiftyReg reg_f3d is
 // NMI-driven, which survives nonlinear intensity remaps between template
-// and subject where SSD does not. The bending term is a second-difference
+// and subject where SSD does not; -ssd opts into plain SSD for
+// same-protocol pairs. The bending term is a second-difference
 // surrogate that leaves the affine part free. Optimized by gradient descent
 // on a 2-level pyramid. Written from the FFD method description (Rueckert
 // et al.) and the standard Parzen-NMI gradient derivation, not from
@@ -550,7 +551,7 @@ int main(int argc, char** argv) {
   std::string ref_path, flo_path, aff_path, cpp_path, res_path;
   double sx_mm = 10.0, be = -1.0;  // default resolved per cost below
   int maxit = 25;
-  bool use_nmi = false;
+  bool use_nmi = true;  // NMI by default — NiftyReg reg_f3d parity (base.py:516-521)
   for (int i = 1; i < argc; ++i) {
     std::string a = argv[i];
     auto next = [&]() -> std::string {
@@ -566,6 +567,7 @@ int main(int argc, char** argv) {
     else if (a == "-maxit") maxit = std::atoi(next().c_str());
     else if (a == "-be") be = std::atof(next().c_str());
     else if (a == "-nmi" || a == "--nmi") use_nmi = true;
+    else if (a == "-ssd" || a == "--ssd") use_nmi = false;
     else if (a == "-voff") { }
     else { std::fprintf(stderr, "unknown arg %s\n", a.c_str()); return 1; }
   }
@@ -580,7 +582,7 @@ int main(int argc, char** argv) {
   if (ref_path.empty() || flo_path.empty() || cpp_path.empty()) {
     std::fprintf(stderr,
                  "usage: reg_f3d -ref R -flo F [-aff A.txt] -cpp OUT.nii "
-                 "[-res OUT] [-sx mm] [-maxit n] [-be w] [-nmi]\n");
+                 "[-res OUT] [-sx mm] [-maxit n] [-be w] [-nmi | -ssd]\n");
     return 1;
   }
 

@@ -82,9 +82,10 @@ class Options(Mapping[str, Any]):
     cc_backend: str = "scipy"       # post-process connected components: scipy | device
     folder_pipeline: bool = False   # pipelined folder sweep: prefetch the next scan's host prep + async writeback (bit-identical results; wins only on multi-core hosts — on a 1-core host the prefetch thread contends with the wire feed and LOSES ~2x, measured)
     fcn_max_bbox_voxels: int = 6_000_000  # dense-evaluator sub-slab budget
+    fcn_spmd: bool = True           # multi-device FCN: one sharded SPMD program over the ('data',) mesh (False: host sub-bbox fan-out — pipelines uploads on a slow host link)
     debug_nans: bool = False        # jax_debug_nans: raise on first NaN (debug only)
     reg_backend: str = "native"     # deformable registration: native (C++) | jax (on-device)
-    reg_similarity: str = "ssd"     # deformable-stage cost: ssd | nmi (base.py:516-521 is NMI)
+    reg_similarity: str = "nmi"     # deformable-stage cost: nmi (default — the reference's reg_f3d is NiftyReg's NMI-driven FFD, base.py:516-521) | ssd (opt-in; wins on same-protocol pairs)
     train_dtype: str = "float32"    # training forward/backward: float32 | bfloat16 (f32 master)
 
     # ------------------------------------------------------------------ dict view
@@ -180,9 +181,10 @@ def load_options(user_config: configparser.RawConfigParser | str | os.PathLike) 
         folder_pipeline=_as_bool(opt("tpu", "folder_pipeline", False)),
         fcn_max_bbox_voxels=int(opt("tpu", "fcn_max_bbox_voxels",
                                     6_000_000, int)),
+        fcn_spmd=_as_bool(opt("tpu", "fcn_spmd", True)),
         debug_nans=_as_bool(opt("tpu", "debug_nans", False)),
         reg_backend=opt("tpu", "reg_backend", "native").strip(),
-        reg_similarity=opt("tpu", "reg_similarity", "ssd").strip(),
+        reg_similarity=opt("tpu", "reg_similarity", "nmi").strip(),
         train_dtype=opt("tpu", "train_dtype", "float32").strip(),
     )
     return o

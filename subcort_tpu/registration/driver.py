@@ -77,7 +77,7 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
                    tools_dir: str | None = None, per_channel: bool = False,
                    bugcompat_mask_channels: bool = True,
                    dilate_iters: int = 5, backend: str = "native",
-                   similarity: str = "ssd") -> float:
+                   similarity: str = "nmi") -> float:
     """Register the MNI atlas into subject space; returns elapsed seconds
     (the reference returns seconds too and the caller prints minutes).
 
@@ -89,10 +89,14 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
     either way, and no dependency on the native toolchain (reference
     counterpart: base.py:510-521).
 
-    similarity='ssd' (default) or 'nmi' selects the deformable-stage cost.
-    The reference's reg_f3d is NiftyReg's NMI-driven FFD (base.py:516-521);
-    NMI survives nonlinear intensity differences between template and
-    subject (scanner/protocol effects) where SSD does not.
+    similarity='nmi' (default) or 'ssd' selects the deformable-stage cost.
+    The reference's reg_f3d is NiftyReg's NMI-driven FFD (base.py:516-521),
+    so NMI is the default here too: registering the MNI *template* onto an
+    arbitrary scanner T1 is exactly the cross-protocol intensity situation
+    NMI exists for (SSD mis-registers intensity-remapped pairs; pinned by
+    tests/test_registration.py::test_register_masks_default_handles_remap).
+    SSD remains opt-in for same-protocol pairs, where it scores slightly
+    higher on the clean phantom (REGQUAL: 0.981 vs 0.969).
     """
     if similarity not in ("ssd", "nmi"):
         raise RegistrationError(f"similarity must be 'ssd' or 'nmi', got {similarity!r}")
@@ -157,11 +161,14 @@ def register_masks(input_scan: str, atlas_dir: str | None = None,
             save_nii(NiftiImage(warped.astype(_np.float32), t1_img.affine),
                      os.path.join(tmp, "rT1d_template.nii.gz"))
         else:
+            # pass the cost explicitly — driver semantics must not depend
+            # on the tool's own default (which is also NMI, matching
+            # NiftyReg's reg_f3d)
             _run([os.path.join(tools, "reg_f3d"),
                   "-ref", input_scan, "-flo", template,
                   "-aff", transf, "-cpp", cpp,
-                  "-res", os.path.join(tmp, "rT1d_template.nii.gz")]
-                 + (["-nmi"] if similarity == "nmi" else []))
+                  "-res", os.path.join(tmp, "rT1d_template.nii.gz"),
+                  "-nmi" if similarity == "nmi" else "-ssd"])
 
     # stage 3: warp the 15 prior channels + build the binary ROI mask
     prior_path = os.path.join(tmp, "MNI_sub_probabilities.nii.gz")

@@ -139,8 +139,9 @@ def test_tpu_registration_knobs_parse(tmp_path):
     assert o.reg_backend == "jax"
     assert o.reg_similarity == "nmi"
     assert o.train_dtype == "bfloat16"
-    # defaults preserve the round-1 behavior
+    # defaults: native tools, NMI deformable cost (reference-parity — the
+    # reference's reg_f3d is NiftyReg's NMI-driven FFD, base.py:516-521)
     o2 = _load(tmp_path)
     assert o2.reg_backend == "native"
-    assert o2.reg_similarity == "ssd"
+    assert o2.reg_similarity == "nmi"
     assert o2.train_dtype == "float32"
