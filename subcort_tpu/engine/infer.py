@@ -182,7 +182,7 @@ def _bg_prior_pattern(n_classes: int, prior_dtype) -> np.ndarray:
 
 
 def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
-                     centers=None):
+                     centers=None, force_sparse: bool = False):
     """Host prep for one sub-bbox. ``image`` is the RAW volume; ``stats`` is
     its nonzero (mean, std) — normalization happens on the slab cut only
     (the full-volume normalize costs ~0.1 s/scan of pure host time and the
@@ -238,7 +238,10 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
         if m == 0:
             return None, None, cs, None, None  # nothing to classify here
         m_pad = _round_up_pow2(m)
-        if m_pad < bx * by * bz:
+        if force_sparse or m_pad < bx * by * bz:
+            # force_sparse: the SPMD evaluator (parallel/fcn_sharded.py)
+            # stacks per-device shards and needs every shard in the same
+            # (sparse) layout — never the dense fall-through below
             rel = cs - np.asarray(lo)[None, :]
             lin = ((rel[:, 0].astype(np.int64) * by + rel[:, 1]) * bz
                    + rel[:, 2]).astype(np.int32)
@@ -405,7 +408,8 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
                    prior_dtype=np.uint16,
                    probs_dtype=np.uint8,
                    compute_dtype: str = "float32",
-                   devices=None):
+                   devices=None,
+                   fcn_spmd: bool = True):
     """Segment one T1 volume at the given centers.
 
     ``image`` is the *raw* scan (normalization happens here, with the
@@ -418,6 +422,13 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
     runs are dense too). engine='patch' gathers per-center patches (Pallas
     DMA kernel on TPU) — better only for very sparse candidate sets. 'auto'
     picks FCN unless the bbox exceeds ~30x the candidate count.
+
+    With ``devices`` (a multi-device list), the FCN path runs as ONE
+    sharded SPMD program over a ('data',) mesh by default
+    (parallel/fcn_sharded.py — no host dispatch loop on the hot path);
+    ``fcn_spmd=False`` keeps the host sub-bbox fan-out, which pipelines
+    per-slab uploads against compute (the right shape on a slow host link).
+    Both are bit-identical to single-device (tests/test_parallel.py).
     """
     image = np.asarray(image)
     stats = normalize_stats(image)
@@ -462,6 +473,21 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
         if lo is None:
             lo, dims = _bbox_of(centers, shape)
         vox = int(np.prod(dims))
+        if devices is not None and len(devices) > 1 and fcn_spmd:
+            # ONE sharded program per (outer) slab: the slab axis is split
+            # over the mesh inside fcn_run_spmd; oversized candidate regions
+            # still honor the per-device HBM budget via an outer split
+            from jax.sharding import Mesh
+
+            from subcort_tpu.parallel.fcn_sharded import fcn_run_spmd
+            mesh = Mesh(np.asarray(devices), ("data",))
+            outer = len(devices) * fcn_max_bbox_voxels
+            for sub_lo, sub_dims in _split_bbox(lo, dims, outer):
+                fcn_run_spmd(params, image, stats, atlas, sub_lo, sub_dims,
+                             shape, centers, label_vol, prob_vol, want_probs,
+                             spec, prior_dtype, probs_dtype,
+                             jnp.dtype(dev_dtype).name, mesh)
+            return label_vol, prob_vol
         if devices is not None and len(devices) > 1:
             # split finely enough that every device gets work
             fcn_max_bbox_voxels = min(fcn_max_bbox_voxels,
@@ -710,7 +736,8 @@ def test_scan(params, scan_path: str, options: Options,
         prior_dtype=np.dtype(options["prior_dtype"]),
         probs_dtype=np.dtype(options["probs_dtype"]),
         compute_dtype=options["compute_dtype"],
-        devices=_data_parallel_devices(options))
+        devices=_data_parallel_devices(options),
+        fcn_spmd=options.bool("fcn_spmd"))
 
     # capture only what the (possibly deferred) write needs: the affine and
     # the seg output dtype — never `t1`/`image` themselves, which would pin
