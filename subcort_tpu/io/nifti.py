@@ -306,8 +306,11 @@ def save_nii(img: NiftiImage | np.ndarray, path: str | os.PathLike,
     struct.pack_into("<h", hdr, 72, dt.itemsize * 8)  # bitpix
     struct.pack_into("<8f", hdr, 76, *pixdim)
     struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
-    struct.pack_into("<f", hdr, 112, 1.0)    # scl_slope
-    struct.pack_into("<f", hdr, 116, 0.0)    # scl_inter
+    # honor caller-provided intensity scaling (clinical int16 + scl_slope
+    # encoding: stored = (value - scl_inter) / scl_slope; readers — ours
+    # included, see load above — reconstruct value = stored * slope + inter)
+    struct.pack_into("<f", hdr, 112, float(img.header.get("scl_slope", 1.0)))
+    struct.pack_into("<f", hdr, 116, float(img.header.get("scl_inter", 0.0)))
     struct.pack_into("<b", hdr, 123, 10)     # xyzt_units: mm | sec
     struct.pack_into("<h", hdr, 252, qform_code)
     struct.pack_into("<h", hdr, 254, 1)      # sform_code = 1 (scanner)

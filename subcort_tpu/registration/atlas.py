@@ -172,6 +172,144 @@ def make_synthetic_cohort(root: str, n_subjects: int = 4,
     return subs
 
 
+# --------------------------------------------------------------- degradations
+# Realistic-acquisition degradation kit (VERDICT r4 missing-2): every quality
+# artifact before r5 used clean phantoms, while the reference processed real
+# MICCAI-2012/IBSR scans. Each entry distorts the phantom the way a real
+# scanner/protocol does, stressing specific reference semantics:
+#   bias_field       B1 inhomogeneity: smooth multiplicative ±30% field —
+#                    stresses nonzero-μ/σ normalization (base.py:146) and SSD
+#                    vs NMI registration (base.py:516-521)
+#   rician           magnitude-reconstruction Rician noise (σ ~ 4% of the
+#                    intensity range) — sampling + normalization robustness
+#   intensity_remap  monotone nonlinear transfer (gamma 1.6): cross-protocol
+#                    template-vs-subject relation NMI exists for
+#   oblique          rotated sform (direction cosines off-axis) + anisotropic
+#                    1x1x1.2 mm voxels — world-space registration correctness
+#   int16_scl        int16 storage with scl_slope/inter (the common clinical
+#                    encoding) — IO scaling + raw-wire paths
+#   combined         all of the above at once (the realistic worst case)
+
+DEGRADATIONS = ("bias_field", "rician", "intensity_remap", "oblique",
+                "int16_scl", "combined")
+
+
+def _smooth_field(shape, rng, scale_vox: float = 12.0) -> np.ndarray:
+    """Zero-mean, unit-max-abs smooth random field (low-order modulation)."""
+    from scipy import ndimage
+
+    f = ndimage.gaussian_filter(rng.standard_normal(shape), scale_vox)
+    f -= f.mean()
+    m = np.abs(f).max()
+    return f / (m if m > 0 else 1.0)
+
+
+def apply_degradation(data: np.ndarray, affine: np.ndarray, kind: str,
+                      rng: np.random.Generator, strength: float = 1.0):
+    """Apply one named degradation to a (X, Y, Z) scan.
+
+    Returns (data, affine, storage) where ``storage`` is None or a dict
+    {"dtype": ..., "scl_slope": ..., "scl_inter": ...} describing how the
+    volume should be *encoded on disk* (int16_scl). Voxel geometry (the
+    voxel->index mapping of structures) is never changed — GT masks defined
+    on the input grid stay valid — only intensities, noise, header
+    orientation, and storage encoding.
+    """
+    if kind != "clean" and kind not in DEGRADATIONS:
+        raise ValueError(f"unknown degradation {kind!r}; have "
+                         f"('clean',) + {DEGRADATIONS}")
+    data = np.asarray(data, np.float32).copy()
+    affine = np.asarray(affine, np.float64).copy()
+    storage = None  # kind == "clean" falls through every branch untouched
+    fg = data > 0  # degradations act on the scanned object, not air
+
+    if kind in ("bias_field", "combined"):
+        # multiplicative B1 bias: ±30% * strength, smooth across the volume
+        field = 1.0 + 0.3 * strength * _smooth_field(data.shape, rng)
+        data[fg] = data[fg] * field[fg]
+
+    if kind in ("intensity_remap", "combined"):
+        # monotone nonlinear transfer (gamma-like), normalized back to the
+        # original max so the remap is a pure shape change
+        mx = float(data.max()) or 1.0
+        gamma = 1.0 + 0.6 * strength
+        data = (mx * (data / mx) ** gamma).astype(np.float32)
+
+    if kind in ("rician", "combined"):
+        # Rician: magnitude of a complex signal with iid Gaussian noise on
+        # both channels (the MRI magnitude-reconstruction noise model)
+        sigma = 0.04 * strength * float(data.max())
+        n1 = rng.normal(0.0, sigma, data.shape).astype(np.float32)
+        n2 = rng.normal(0.0, sigma, data.shape).astype(np.float32)
+        noisy = np.sqrt((data + n1) ** 2 + n2 ** 2)
+        data = np.where(fg, noisy, data).astype(np.float32)
+
+    if kind in ("oblique", "combined"):
+        # oblique acquisition: rotate the direction cosines ~8° about two
+        # axes and make the voxels mildly anisotropic — the voxel grid is
+        # untouched, only the world mapping changes
+        ax, az = np.deg2rad(8.0 * strength), np.deg2rad(5.0 * strength)
+        cx, sx = np.cos(ax), np.sin(ax)
+        cz, sz = np.cos(az), np.sin(az)
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        affine[:3, :3] = Rz @ Rx @ affine[:3, :3] @ np.diag([1.0, 1.0, 1.2])
+        affine[:3, 3] = np.array([-3.0, 2.0, 5.0])
+
+    if kind in ("int16_scl", "combined"):
+        # clinical int16 + scl_slope encoding: raw = (v - inter) / slope;
+        # readers must reconstruct v = raw * slope + inter (io/nifti.py does
+        # on read). Slope chosen to use most of the int16 positive range.
+        mx = float(data.max()) or 1.0
+        slope = mx / 30000.0
+        storage = {"dtype": np.int16, "scl_slope": np.float32(slope),
+                   "scl_inter": np.float32(0.0)}
+
+    return data, affine, storage
+
+
+def save_degraded(data: np.ndarray, affine: np.ndarray, storage, path: str):
+    """Write a (possibly storage-encoded) degraded scan to ``path``."""
+    if storage is None:
+        save_nii(NiftiImage(np.asarray(data, np.float32), affine), path)
+        return
+    raw = np.round(np.asarray(data, np.float64)
+                   / float(storage["scl_slope"])).astype(storage["dtype"])
+    save_nii(NiftiImage(raw, affine,
+                        header={"scl_slope": float(storage["scl_slope"]),
+                                "scl_inter": float(storage["scl_inter"])}),
+             path)
+
+
+def make_degraded_subject(root: str, atlas_dir: str, kind: str,
+                          shape=(64, 72, 60), seed: int = 0,
+                          shift=(2, -1, 1), strength: float = 1.0) -> str:
+    """Write one held-out phantom subject whose T1 carries the named
+    degradation (GT is clean — it's the label contract), with NO priors:
+    the caller drives the full default pipeline (register -> priors ->
+    segment -> post-process) against it. Returns the subject directory."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(seed + hash(kind) % 10000)
+    template, atlas = make_synthetic_atlas(atlas_dir, shape=shape, seed=seed)
+    t1 = np.roll(template, shift, axis=(0, 1, 2))
+    at = np.roll(atlas, shift, axis=(0, 1, 2))
+    gt = np.zeros(shape, np.uint8)
+    for s in range(14):
+        gt[at[..., s] > 0.5] = s + 1
+    ring = ndimage.binary_dilation(gt > 0, iterations=2) & (gt == 0)
+    gt[ring] = 15
+
+    data, affine, storage = apply_degradation(t1, np.eye(4), kind, rng,
+                                              strength)
+    sub = os.path.join(root, f"deg_{kind}")
+    os.makedirs(sub, exist_ok=True)
+    save_degraded(data, affine, storage, os.path.join(sub, "T1.nii.gz"))
+    # GT shares the subject's (possibly oblique) world mapping
+    save_nii(NiftiImage(gt, affine), os.path.join(sub, "gt_15_classes.nii.gz"))
+    return sub
+
+
 def make_synthetic_atlas(out_dir: str, shape=(64, 72, 60), seed: int = 0,
                          n_structures: int = 14):
     """Write T1_template.nii.gz + atlas_subcortical_MNI.nii.gz to out_dir.
