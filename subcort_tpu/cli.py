@@ -23,11 +23,15 @@ def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="subcort_tpu",
                                 description="TPU-native sub-cortical segmentation")
     p.add_argument("command",
-                   choices=["train", "infer", "run", "evaluate", "import-atlas"],
+                   choices=["train", "infer", "run", "evaluate", "loo",
+                            "import-atlas"],
                    help="train: fit the model; infer: segment the inference "
                         "folder; run: both; evaluate: Dice of existing "
-                        "segmentations vs ground truth; import-atlas: "
-                        "validate + install user-supplied MNI atlas assets")
+                        "segmentations vs ground truth; loo: leave-one-out "
+                        "cross-validation over the train folder (volumes "
+                        "loaded once, one model + held-out Dice per fold); "
+                        "import-atlas: validate + install user-supplied MNI "
+                        "atlas assets")
     p.add_argument("--config", default="configuration.cfg",
                    help="path to a reference-format configuration.cfg")
     p.add_argument("--template", default=None,
@@ -43,6 +47,9 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true",
                    help="enable rotation/flip augmentation (the reference "
                         "defines but never activates it)")
+    p.add_argument("--folds", default=None,
+                   help="loo: comma-separated held-out subject names "
+                        "(default: every subject in the train folder)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="capture a jax.profiler trace of the command into "
                         "DIR (view with TensorBoard/Perfetto)")
@@ -128,6 +135,24 @@ def main(argv=None) -> int:
             print(json.dumps({"cohort_mean_dice":
                               round(float(np.mean(all_means)), 4),
                               "n_subjects": len(all_means)}))
+        return 0
+
+    if args.command == "loo":
+        # leave-one-out protocol (reference base.py:14-15: the data is
+        # loaded once for all folds; the fold loop itself was left to the
+        # user — here it's a subcommand emitting one JSON line per fold)
+        import json
+
+        from subcort_tpu.engine.loo import run_loo
+
+        folds = ([f.strip() for f in args.folds.split(",") if f.strip()]
+                 if args.folds else None)
+        summary = run_loo(options, weights_path=args.weights_path,
+                          folds=folds, augment=args.augment)
+        for name, rec in summary["folds"].items():
+            print(json.dumps({"fold": name, **rec}))
+        print(json.dumps({"loo_mean_dice": summary["mean_dice"],
+                          "n_folds": len(summary["folds"])}))
         return 0
 
     from subcort_tpu.utils import profile_trace

@@ -13,5 +13,6 @@ from subcort_tpu.engine.infer import (  # noqa: F401
     segment_volume,
     test_scan,
 )
+from subcort_tpu.engine.loo import evaluate_fold, fold_view, run_loo  # noqa: F401
 from subcort_tpu.engine.postprocess import post_process_segmentation  # noqa: F401
 from subcort_tpu.engine.train import Trainer, train_split_stratified  # noqa: F401
