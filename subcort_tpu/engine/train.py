@@ -80,12 +80,19 @@ def gather_triplanar_subjects(volumes: jnp.ndarray, centers: jnp.ndarray,
 
 
 def _augment_views(rng, ax, co, sa):
-    """Reference Rotate_batch_Iterator semantics (nets.py:46-124): on a
-    random half of the batch, each view independently gets one of
-    {rot180, flip(w), rot180+flip(w)}."""
+    """Reference Rotate_batch_Iterator semantics (nets.py:46-124): on the
+    SAME uniformly-random exactly-half subset of the batch
+    (np.random.choice(bs, bs/2, replace=False), nets.py:52), each view
+    independently draws one of [rot180, flip(w), rot180+flip(w)] — the
+    reference's augmented_x stack order with its per-view r_indices
+    (nets.py:72-78). rot180+flip(w) composes to flip(h). Differentially
+    pinned against a numpy reimplementation of the reference transform in
+    tests/test_train.py::test_augmentation_matches_reference_transform."""
     b = ax.shape[0]
     k_sel, *k_views = jax.random.split(rng, 4)
-    selected = jax.random.bernoulli(k_sel, 0.5, (b,))
+    # exactly floor(b/2) samples, uniformly without replacement — a
+    # Bernoulli(0.5) mask (≈half) is NOT the reference's selection law
+    selected = jax.random.permutation(k_sel, jnp.arange(b)) < b // 2
 
     def one(view, key):
         r = jax.random.randint(key, (b,), 0, 3)

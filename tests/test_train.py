@@ -226,6 +226,70 @@ def test_augmentation_path_runs(tmp_path, rng):
     assert np.isfinite(hist[0]["train_loss"])
 
 
+def test_augmentation_matches_reference_transform(rng):
+    """Differential pin of _augment_views against a numpy reimplementation
+    of the reference's Rotate_batch_Iterator.transform
+    (/root/reference/cnn_cort/nets.py:46-124):
+
+    - the transform set, in stack order, is [rotate_180, rotate_0_flipped,
+      rotate_180_flipped] built by the reference's literal compositions
+      (rotate_90 = x[:,:,::-1,:].transpose(0,1,3,2) applied twice, then
+      [..., ::-1] flips) — reimplemented verbatim below, NOT simplified, so
+      any drift in our kernel's slicing fails against the true semantics;
+    - selection is the SAME exactly-half uniform subset for all three views
+      (np.random.choice(bs, bs/2, replace=False), nets.py:52);
+    - the choice index r is drawn independently PER VIEW (nets.py:72-78
+      draws fresh r_indices for in1/in2/in3).
+
+    The device draws (subset + per-view r) are mirrored by re-deriving the
+    jax.random split structure, so the comparison is bitwise.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from subcort_tpu.engine.train import _augment_views
+
+    b, p = 64, 8
+    ax = rng.standard_normal((b, p, p)).astype(np.float32)
+    co = rng.standard_normal((b, p, p)).astype(np.float32)
+    sa = rng.standard_normal((b, p, p)).astype(np.float32)
+    key = jax.random.key(123)
+
+    got = [np.asarray(v) for v in
+           _augment_views(key, jnp.asarray(ax), jnp.asarray(co),
+                          jnp.asarray(sa))]
+
+    # mirror the device RNG derivation (pins the split structure)
+    k_sel, k1, k2, k3 = jax.random.split(key, 4)
+    selected = np.asarray(jax.random.permutation(k_sel, jnp.arange(b)) < b // 2)
+    rs = [np.asarray(jax.random.randint(k, (b,), 0, 3)) for k in (k1, k2, k3)]
+
+    # exactly-half selection law (nets.py:52: bs/2 without replacement)
+    assert int(selected.sum()) == b // 2
+
+    # per-view independence: three independent r draws must differ somewhere
+    assert not (np.array_equal(rs[0], rs[1]) and np.array_equal(rs[1], rs[2]))
+
+    def reference_transform_stack(x):
+        """nets.py:60-72 verbatim on an (N, 1, h, w) batch."""
+        rotate_90 = x[:, :, ::-1, :].transpose(0, 1, 3, 2)
+        rotate_180 = rotate_90[:, :, ::-1, :].transpose(0, 1, 3, 2)
+        rotate_0_flipped = x[:, :, :, ::-1]
+        rotate_180_flipped = rotate_180[:, :, :, ::-1]
+        return np.stack([rotate_180, rotate_0_flipped, rotate_180_flipped],
+                        axis=1)
+
+    for view, out, r in zip((ax, co, sa), got, rs):
+        x = view[:, None]  # reference layout (N, 1, h, w)
+        augmented = reference_transform_stack(x)
+        expect = x.copy()
+        idx = np.flatnonzero(selected)
+        expect[idx] = np.stack([augmented[i, r[i]] for i in idx])
+        np.testing.assert_array_equal(out, expect[:, 0])
+        # unselected rows untouched
+        np.testing.assert_array_equal(out[~selected], view[~selected])
+
+
 def test_leave_one_out_split(tmp_path, rng):
     """Reference LOO protocol: per-fold training sets excluding one subject."""
     from subcort_tpu.engine import (build_training_index, leave_one_out,
