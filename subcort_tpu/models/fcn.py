@@ -247,6 +247,44 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     return labels, probs
 
 
+def slab_flops(bbox_dims: Tuple[int, int, int], m_rows: int = None,
+               spec: TriPlanarSpec = DEFAULT_SPEC, n_classes: int = 15) -> int:
+    """Analytic FLOP count (2 x MACs) of one ``fcn_forward_slab`` call.
+
+    Counts the three dense à-trous branches over their (batch, plane+halo)
+    extents plus the head MLP over ``m_rows`` voxels (``None`` = dense head,
+    every bbox voxel). Matches the module docstring's ~140k MACs/voxel/view:
+    per interior pixel the branch costs 9*(20 + 400 + 800 + 1600 + 2400
+    + 10800) = 144,180 MACs. Used by bench.py's MFU estimate; BN/PReLU/pool
+    vector ops are excluded (they are HBM-bound, not MXU work)."""
+    bx, by, bz = (int(d) for d in bbox_dims)
+    fc = spec.fc_conv
+    # (batch axis, plane dims) per view — the fcn_forward_slab transposes
+    views = ((bz, bx, by), (by, bx, bz), (bx, by, bz))
+    convs = [(1, 20, 1), (20, 20, 1), (20, 40, 2), (40, 40, 2), (40, 60, 4)]
+    total = 0
+    for b, h, w in views:
+        p, q = h + RF, w + RF
+        for i, (cin, cout, d) in enumerate(convs, start=1):
+            p -= 2 * d
+            q -= 2 * d
+            total += 2 * b * p * q * cin * cout * 9
+            if i == 2:      # maxpool k2 s1 dil1
+                p -= 1
+                q -= 1
+            elif i == 4:    # maxpool k2 s1 dil2
+                p -= 2
+                q -= 2
+        p -= 8              # dense 540->fc as 3x3 dil-4 conv
+        q -= 8
+        total += 2 * b * p * q * 60 * fc * 9
+        assert (p, q) == (h, w), "receptive-field accounting drifted"
+    m = bx * by * bz if m_rows is None else int(m_rows)
+    f3 = 3 * fc
+    total += 2 * m * (f3 * f3 + (f3 + n_classes) * 270 + 270 * n_classes)
+    return total
+
+
 def fcn_forward_bbox(params, padded_vol: jnp.ndarray,
                      bbox_origin, bbox_shape: Tuple[int, int, int],
                      atlas_vecs: jnp.ndarray, want_probs: bool = False,
