@@ -31,7 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np  # noqa: E402
 from scipy import ndimage  # noqa: E402
 
-DICE_FLOOR = 0.80  # unregistered (identity) scores 0.63 on this phantom
+# floors sit just below the measured r4 values (Dice 0.95-0.98, min_jac
+# 0.19-0.80) so a real regression trips the gate — a 10-point drift passed
+# the old 0.80 floor silently (VERDICT r4 weak-2). Identity scores 0.63.
+DICE_FLOOR = 0.93
+MIN_JAC_FLOOR = 0.05
 TOOLS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
 
 
@@ -90,9 +94,8 @@ def run_native(ref_vol, template, cost, workdir):
     save_nii(NiftiImage(ref_vol), ref_p)
     save_nii(NiftiImage(template), flo_p)
     args = [os.path.join(TOOLS, "reg_f3d"), "-ref", ref_p, "-flo", flo_p,
-            "-cpp", cpp_p, "-sx", "6", "-be", "0.02" if cost == "ssd" else "5e-4"]
-    if cost == "nmi":
-        args.append("-nmi")
+            "-cpp", cpp_p, "-sx", "6", "-be", "0.02" if cost == "ssd" else "5e-4",
+            "-nmi" if cost == "nmi" else "-ssd"]
     t0 = time.time()
     out = subprocess.run(args, capture_output=True, text=True)
     secs = time.time() - t0
@@ -237,8 +240,9 @@ def main():
                        if compile_secs is not None else {}),
                     "identity_dice": round(identity_dice, 4),
                     "dice_floor": DICE_FLOOR,
+                    "min_jac_floor": MIN_JAC_FLOOR,
                     "passed": bool(dice >= DICE_FLOOR
-                                   and jac.get("min_jac", -1) > 0.0),
+                                   and jac.get("min_jac", -1) > MIN_JAC_FLOOR),
                 }
                 results.append(rec)
                 print(json.dumps(rec), flush=True)

@@ -19,8 +19,11 @@ Prints ONE JSON line:
   {"metric": "train_quality_cohort_dice", "value": N, "unit": "dice",
    "valid_accuracy": N, "passed": bool, ...}
 
-Floors (asserted, reported in the JSON): cohort mean Dice >= 0.85,
-best-epoch valid_accuracy >= 0.90.
+Floors (asserted, reported in the JSON): cohort mean Dice >= 0.97,
+best-epoch valid_accuracy >= 0.995 — set just below the measured values
+(TRAINQUAL_r04: 0.9917 / 0.99949) so a real regression trips the gate; the
+old 0.85/0.90 floors would have passed a 10-point drift silently (VERDICT
+r4 weak-2).
 """
 
 import argparse
@@ -36,8 +39,8 @@ import numpy as np  # noqa: E402
 
 from subcort_tpu.utils import enable_compilation_cache  # noqa: E402
 
-DICE_FLOOR = 0.85
-VALID_ACC_FLOOR = 0.90
+DICE_FLOOR = 0.97
+VALID_ACC_FLOOR = 0.995
 REFERENCE_VALID_ACC = 0.94998  # shipped history, best epoch 42
 
 
