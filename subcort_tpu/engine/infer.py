@@ -216,10 +216,20 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
     raw_wire = image.dtype.kind in "iu" and image.dtype.itemsize <= 2
     slab = np.zeros((bx + RF, by + RF, bz + RF),
                     image.dtype if raw_wire else np.float32)
-    src = [slice(max(int(l) - half, 0), min(int(l) + d + half - 1, s))
-           for l, d, s in zip(lo, dims, shape)]
-    dst = [slice(s.start - (int(l) - half), s.stop - (int(l) - half))
-           for s, l in zip(src, lo)]
+    src, dst = [], []
+    for l, d, s in zip(lo, dims, shape):
+        a = min(max(int(l) - half, 0), s)
+        b = max(min(int(l) + d + half - 1, s), a)
+        ds = a - (int(l) - half)
+        if ds < 0:
+            # sub-bbox starts more than `half` past the volume end (SPMD
+            # shard overhang on large meshes): there is no overlap, and a
+            # negative dst start would wrap around numpy's negative-index
+            # semantics into a non-empty slice — pin both sides to empty
+            a = b = s
+            ds = 0
+        src.append(slice(a, b))
+        dst.append(slice(ds, ds + (b - a)))
     if raw_wire:
         slab[tuple(dst)] = image[tuple(src)]
         norm = (np.array([mean, 1.0 / std], np.float32),

@@ -78,8 +78,9 @@ def run_loo(options: Options, weights_path: str = "nets",
     artifact set — then segments the held-out scan with the fold's *best*
     checkpoint and scores Dice. Volumes are loaded once for all folds.
 
-    ``sample_cap`` (optional) truncates each fold's (already consistently
-    shuffled) training rows — CI-budget knob, not a product setting.
+    ``sample_cap`` (optional) takes a seeded uniform subsample of each
+    fold's training rows (order-independent, so it is safe with
+    ``randomize_train=False`` too) — CI-budget knob, not a product setting.
 
     Returns {"folds": {name: {dice, valid_accuracy, valid_loss, epochs}},
     "mean_dice": float}.
@@ -108,11 +109,16 @@ def run_loo(options: Options, weights_path: str = "nets",
     results = {}
     for name in folds:
         fold_idx = fold_view(index, name)
-        if sample_cap is not None:
+        if sample_cap is not None and sample_cap < len(fold_idx):
+            # explicit seeded subsample, NOT a prefix slice: with
+            # randomize_train=False the index rows are in subject order, and
+            # a prefix would silently drop later subjects from every fold
+            rng = np.random.default_rng([int(options["seed"]), len(fold_idx)])
+            sel = np.sort(rng.permutation(len(fold_idx))[:sample_cap])
             fold_idx = dataclasses.replace(
-                fold_idx, centers=fold_idx.centers[:sample_cap],
-                labels=fold_idx.labels[:sample_cap],
-                atlas=fold_idx.atlas[:sample_cap])
+                fold_idx, centers=fold_idx.centers[sel],
+                labels=fold_idx.labels[sel],
+                atlas=fold_idx.atlas[sel])
         fold_opts = dataclasses.replace(
             options, experiment=f"{base_name}_fold_{name}",
             load_weights=False)  # each fold trains from scratch

@@ -18,6 +18,7 @@ ground truth and no external downloads.
 from __future__ import annotations
 
 import os
+import zlib
 
 import numpy as np
 
@@ -290,7 +291,9 @@ def make_degraded_subject(root: str, atlas_dir: str, kind: str,
     segment -> post-process) against it. Returns the subject directory."""
     from scipy import ndimage
 
-    rng = np.random.default_rng(seed + hash(kind) % 10000)
+    # crc32, not hash(): str hash is randomized per process (PYTHONHASHSEED),
+    # which would make the "seeded" degraded phantoms differ on every run
+    rng = np.random.default_rng([seed, zlib.crc32(kind.encode())])
     template, atlas = make_synthetic_atlas(atlas_dir, shape=shape, seed=seed)
     t1 = np.roll(template, shift, axis=(0, 1, 2))
     at = np.roll(atlas, shift, axis=(0, 1, 2))

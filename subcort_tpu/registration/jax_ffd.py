@@ -169,6 +169,12 @@ def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
         flo_hi = jnp.maximum(flo.max(), 0.0)
         fscale = 1.0 / jnp.maximum(flo_hi - flo_lo, 1e-8)
 
+    # hoisted: loop-invariant over the scan iterations (XLA does not lift
+    # invariant code out of a scan body — recomputing this inside loss_fn
+    # would re-square the full reference volume every optimizer step)
+    jw_eff = jw * (jnp.mean(ref * ref) if cost == "ssd" else 1.0) \
+        if jw > 0.0 else 0.0
+
     def loss_fn(d):
         dd = _dense_disp(d, spacing, shape, vox_offset)
         fw = ref_world + dd
@@ -192,7 +198,6 @@ def _optimize_level(disp, d_affine, ref, flo, ref_affine, flo_inv,
             # min_jac leaves the hinge dead; measured r5: margin 0.1 with
             # min_jac 0.187 made jw a no-op at every weight).
             detrel = _jac_det_rel(dd, ref_affine[:3, :3])
-            jw_eff = jw * (jnp.mean(ref * ref) if cost == "ssd" else 1.0)
             loss = loss + jw_eff * jnp.mean(jax.nn.relu(0.5 - detrel) ** 2)
         return loss
 

@@ -276,3 +276,48 @@ def test_fcn_with_reference_checkpoint(reference_ckpt_path, rng):
         "axial": ax, "coronal": co, "sagittal": sa, "atlas": atlas}))
     np.testing.assert_allclose(np.asarray(probs), want, atol=2e-4, rtol=1e-3)
     assert (np.asarray(labels).reshape(-1) == want.argmax(1)).mean() == 1.0
+
+
+def test_fcn_slab_inputs_shard_overhang_past_volume_end(params, rng):
+    """SPMD shard origins on large meshes can land more than patch_half
+    voxels past the volume end (fcn_run_spmd splits the bbox largest axis
+    into ndev equal steps without clamping). The slab cut must degrade to
+    an empty copy + all-zero slab there — a negative dst start used to wrap
+    around numpy's negative-index semantics into a non-empty destination
+    slice and raise a broadcast ValueError."""
+    from subcort_tpu.engine.infer import _fcn_slab_inputs
+    from subcort_tpu.models.triplanar import DEFAULT_SPEC
+    from subcort_tpu.ops import normalize_stats
+
+    image = (rng.random((40, 44, 40)) * 800 + 100).astype(np.float32)
+    atlas = rng.random((40, 44, 40, 15)).astype(np.float32)
+    centers = np.unique(np.stack([rng.integers(0, s, 50)
+                                  for s in image.shape], 1).astype(np.int32),
+                        axis=0)
+    stats = normalize_stats(image)
+
+    # origin 30 voxels past the volume end on axis 0 (> patch_half = 16)
+    for lo in (np.array([70, 0, 0], np.int32),
+               np.array([70, 60, 55], np.int32),   # past the end everywhere
+               np.array([39, 0, 0], np.int32)):    # partial overlap control
+        slab, vecs, cs, lin, norm = _fcn_slab_inputs(
+            image, stats, atlas, lo, (16, 44, 40), image.shape,
+            DEFAULT_SPEC, np.float32, centers, force_sparse=True)
+        inside = np.all((centers >= lo) &
+                        (centers < lo + np.array([16, 44, 40])), axis=1)
+        if not inside.any():
+            assert slab is None and len(cs) == 0
+        else:
+            assert len(cs) == int(inside.sum())
+
+    # int16 raw-wire flavor: the same overhang must also keep the device
+    # normalization bounds (dst start/stop) valid slice indices
+    image16 = image.astype(np.int16)
+    slab, _, cs, _, norm = _fcn_slab_inputs(
+        image16, normalize_stats(image16), atlas,
+        np.array([70, 0, 0], np.int32), (16, 44, 40), image16.shape,
+        DEFAULT_SPEC, np.float32, None)
+    assert norm is not None
+    los, his = np.asarray(norm[1]), np.asarray(norm[2])
+    assert (los >= 0).all() and (his >= los).all()
+    assert not np.asarray(slab).any()  # nothing of the volume lands here
