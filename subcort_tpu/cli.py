@@ -47,6 +47,12 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--augment", action="store_true",
                    help="enable rotation/flip augmentation (the reference "
                         "defines but never activates it)")
+    p.add_argument("--intensity-augment", type=float, default=None,
+                   metavar="S",
+                   help="train-time intensity-robustness augmentation "
+                        "strength (overrides [tpu] intensity_augment; "
+                        "0 = off = reference-exact, 1.0 = the strength "
+                        "validated by the robustness gate)")
     p.add_argument("--folds", default=None,
                    help="loo: comma-separated held-out subject names "
                         "(default: every subject in the train folder)")
@@ -79,6 +85,8 @@ def main(argv=None) -> int:
     from subcort_tpu.config import load_options, print_options, select_platform
 
     options = load_options(args.config)
+    if args.intensity_augment is not None:
+        options["intensity_augment"] = args.intensity_augment
     select_platform(options)  # must precede first backend init
 
     # multi-host launch (SUBCORT_NUM_PROCESSES>1): join the coordination

@@ -107,6 +107,35 @@ def _augment_views(rng, ax, co, sa):
     return (one(ax, k_views[0]), one(co, k_views[1]), one(sa, k_views[2]))
 
 
+def _augment_intensity(rng, ax, co, sa, strength):
+    """Intensity-robustness augmentation ([tpu] ``intensity_augment = S``,
+    default 0.0 = off; the reference has no analogue, so the default
+    preserves reference-exact training). Models the acquisition shifts the
+    robustness gate (bench_robust.py) exercises: a smooth B1 bias field and
+    a monotone (gamma) intensity remap act on a 32x32 patch, locally, as an
+    affine gain/shift of the normalized intensities, and Rician magnitude
+    noise acts as additive per-voxel noise at tissue-level SNR.
+
+    Per sample: gain ~ U(1-S/4, 1+S/4) and shift ~ U(-S/5, S/5) are SHARED
+    across the three views (they sample the same volume at the same center),
+    while per-voxel Gaussian noise with per-sample sigma ~ U(0, 0.15*S) is
+    drawn independently per view. Differentially pinned in
+    tests/test_train.py::test_intensity_augmentation_matches_numpy."""
+    b = ax.shape[0]
+    k_gain, k_shift, k_sigma, k_ax, k_co, k_sa = jax.random.split(rng, 6)
+    s = jnp.asarray(strength, ax.dtype)
+    gain = 1.0 + jax.random.uniform(
+        k_gain, (b, 1, 1), ax.dtype, -0.25, 0.25) * s
+    shift = jax.random.uniform(k_shift, (b, 1, 1), ax.dtype, -0.2, 0.2) * s
+    sigma = jax.random.uniform(k_sigma, (b, 1, 1), ax.dtype, 0.0, 0.15) * s
+
+    def one(view, key):
+        noise = jax.random.normal(key, view.shape, view.dtype)
+        return view * gain + shift + noise * sigma
+
+    return one(ax, k_ax), one(co, k_co), one(sa, k_sa)
+
+
 # ----------------------------------------------------------------- step fns
 def _gather_views(volumes, centers, spec, pallas_strides=None, mesh=None,
                   pallas_interpret=False):
@@ -143,7 +172,8 @@ def _gather_views(volumes, centers, spec, pallas_strides=None, mesh=None,
 
 def _step_impl(optimizer, spec, augment, params, opt_state, volumes,
                centers, labels, atlas, rng, pallas_strides=None,
-               compute_dtype=None, mesh=None, pallas_interpret=False):
+               compute_dtype=None, mesh=None, pallas_interpret=False,
+               intensity_augment=0.0):
     rng_aug, rng_drop = jax.random.split(rng)
 
     # gather outside the differentiated function: patches are data, not
@@ -152,6 +182,10 @@ def _step_impl(optimizer, spec, augment, params, opt_state, volumes,
                                mesh=mesh, pallas_interpret=pallas_interpret)
     if augment:
         ax, co, sa = _augment_views(rng_aug, ax, co, sa)
+    if intensity_augment:
+        # fold_in keeps rng_drop's stream identical to the knob-off run
+        ax, co, sa = _augment_intensity(jax.random.fold_in(rng_aug, 7),
+                                        ax, co, sa, intensity_augment)
 
     # mixed precision ([tpu] train_dtype=bfloat16): master params/optimizer
     # stay f32; the forward/backward runs in bf16 (2x MXU, same exponent
@@ -183,14 +217,16 @@ def _step_impl(optimizer, spec, augment, params, opt_state, volumes,
 
 def make_train_step(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
                     augment: bool = False, pallas_strides=None,
-                    compute_dtype=None, mesh=None, pallas_interpret=False):
+                    compute_dtype=None, mesh=None, pallas_interpret=False,
+                    intensity_augment: float = 0.0):
     @jax.jit
     def train_step(params, opt_state, volumes, centers, labels, atlas, rng):
         return _step_impl(optimizer, spec, augment, params, opt_state,
                           volumes, centers, labels, atlas, rng,
                           pallas_strides=pallas_strides,
                           compute_dtype=compute_dtype, mesh=mesh,
-                          pallas_interpret=pallas_interpret)
+                          pallas_interpret=pallas_interpret,
+                          intensity_augment=intensity_augment)
 
     return train_step
 
@@ -198,7 +234,7 @@ def make_train_step(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
 def make_train_multistep(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
                          augment: bool = False, pallas_strides=None,
                          compute_dtype=None, mesh=None,
-                         pallas_interpret=False):
+                         pallas_interpret=False, intensity_augment: float = 0.0):
     """K optimizer steps per dispatch via lax.scan.
 
     Per-step host->device dispatch costs tens of ms on tunneled/remote
@@ -217,7 +253,8 @@ def make_train_multistep(optimizer, spec: TriPlanarSpec = DEFAULT_SPEC,
                                     volumes, c, l, a, r,
                                     pallas_strides=pallas_strides,
                                     compute_dtype=compute_dtype, mesh=mesh,
-                                    pallas_interpret=pallas_interpret)
+                                    pallas_interpret=pallas_interpret,
+                                    intensity_augment=intensity_augment)
             return (p, o), loss
 
         (params, opt_state), losses = jax.lax.scan(
@@ -282,7 +319,8 @@ class Trainer:
                  augment: bool = False, shuffle_each_epoch: bool = False,
                  n_devices: Optional[int] = None,
                  lr_schedule: Optional[tuple] = None,
-                 steps_per_call: int = 32):
+                 steps_per_call: int = 32,
+                 intensity_augment: Optional[float] = None):
         self.options = options
         # train with im2col convs: conv-gradient lowering is pathologically
         # slow on the TPU remote compiler; im2col is all matmuls (see
@@ -292,6 +330,9 @@ class Trainer:
             spec = _dc.replace(spec, conv_impl="im2col")
         self.spec = spec
         self.augment = augment
+        self.intensity_augment = float(
+            options.get("intensity_augment", 0.0)
+            if intensity_augment is None else intensity_augment)
         self.shuffle_each_epoch = shuffle_each_epoch
         name = options["experiment"]
         self.exp_dir = os.path.join(weights_path, name)
@@ -332,14 +373,23 @@ class Trainer:
         self.train_dtype = ("bfloat16" if td in ("bfloat16", "bf16")
                             else None)
         self._pallas_strides = None  # set by fit() on the TPU fast path
-        self._train_step = make_train_step(self.optimizer, spec, augment,
-                                           compute_dtype=self.train_dtype)
-        self._train_multi = make_train_multistep(
-            self.optimizer, spec, augment, compute_dtype=self.train_dtype)
-        self._eval_step = make_eval_step(spec)
+        self._build_steps()
 
         if options.bool("load_weights"):
             self._try_resume()
+
+    def _build_steps(self, **pk):
+        """(Re)build the jitted train/eval steps; ``pk`` carries the Pallas
+        gather kwargs (pallas_strides/mesh/pallas_interpret) set by fit()."""
+        self._train_step = make_train_step(
+            self.optimizer, self.spec, self.augment,
+            compute_dtype=self.train_dtype,
+            intensity_augment=self.intensity_augment, **pk)
+        self._train_multi = make_train_multistep(
+            self.optimizer, self.spec, self.augment,
+            compute_dtype=self.train_dtype,
+            intensity_augment=self.intensity_augment, **pk)
+        self._eval_step = make_eval_step(self.spec, **pk)
 
     # -------------------------------------------------------------- persistence
     def _try_resume(self):
@@ -423,26 +473,13 @@ class Trainer:
             if mesh_arg is not None:
                 views = jax.device_put(views, replicated(self.mesh))
             if strides != self._pallas_strides:
-                pk = dict(pallas_strides=strides, mesh=mesh_arg,
-                          pallas_interpret=not on_tpu)
-                self._train_step = make_train_step(
-                    self.optimizer, self.spec, self.augment,
-                    compute_dtype=self.train_dtype, **pk)
-                self._train_multi = make_train_multistep(
-                    self.optimizer, self.spec, self.augment,
-                    compute_dtype=self.train_dtype, **pk)
-                self._eval_step = make_eval_step(self.spec, **pk)
+                self._build_steps(pallas_strides=strides, mesh=mesh_arg,
+                                  pallas_interpret=not on_tpu)
                 self._pallas_strides = strides
             volumes = views
         else:
             if self._pallas_strides is not None:
-                self._train_step = make_train_step(
-                    self.optimizer, self.spec, self.augment,
-                    compute_dtype=self.train_dtype)
-                self._train_multi = make_train_multistep(
-                    self.optimizer, self.spec, self.augment,
-                    compute_dtype=self.train_dtype)
-                self._eval_step = make_eval_step(self.spec)
+                self._build_steps()
                 self._pallas_strides = None
             volumes = jax.device_put(index.volumes, replicated(self.mesh))
 

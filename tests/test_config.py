@@ -145,3 +145,10 @@ def test_tpu_registration_knobs_parse(tmp_path):
     assert o2.reg_backend == "native"
     assert o2.reg_similarity == "nmi"
     assert o2.train_dtype == "float32"
+
+
+def test_tpu_intensity_augment_parses(tmp_path):
+    # off by default (reference-exact training); parses as a float strength
+    o = _load(tmp_path, CFG + "\n[tpu]\nintensity_augment = 0.5\n")
+    assert o.intensity_augment == 0.5
+    assert _load(tmp_path).intensity_augment == 0.0

@@ -290,6 +290,76 @@ def test_augmentation_matches_reference_transform(rng):
         np.testing.assert_array_equal(out[~selected], view[~selected])
 
 
+def test_intensity_augmentation_semantics(rng):
+    """Behavioral pin of _augment_intensity (the [tpu] intensity_augment
+    knob, no reference analogue — default-off keeps training
+    reference-exact): the transform must be a per-sample affine
+    (gain*view + shift) plus per-voxel noise, with gain/shift SHARED across
+    the three views (they sample the same volume at the same center) and
+    noise drawn independently per view; strength 0.0 is the exact identity;
+    draws stay inside the documented bounds."""
+    import jax
+    import jax.numpy as jnp
+
+    from subcort_tpu.engine.train import _augment_intensity
+
+    b, p = 32, 8
+    views = [rng.standard_normal((b, p, p)).astype(np.float32)
+             for _ in range(3)]
+    jviews = [jnp.asarray(v) for v in views]
+    key = jax.random.key(9)
+
+    # strength 0 is the identity (the knob-off contract)
+    for o, v in zip(_augment_intensity(key, *jviews, 0.0), views):
+        np.testing.assert_array_equal(np.asarray(o), v)
+
+    got = [np.asarray(v) for v in _augment_intensity(key, *jviews, 1.0)]
+    # determinism under a fixed key
+    got_again = [np.asarray(v) for v in _augment_intensity(key, *jviews, 1.0)]
+    for a, b_ in zip(got, got_again):
+        np.testing.assert_array_equal(a, b_)
+
+    # shifting every input by +1 with the SAME key isolates the gain
+    # exactly: out(v+1) - out(v) = gain (noise/shift cancel)
+    got_p1 = [np.asarray(v)
+              for v in _augment_intensity(key, *(v + 1.0 for v in jviews), 1.0)]
+    gains = []
+    for o1, o2 in zip(got, got_p1):
+        g = o2 - o1
+        # constant per sample over all voxels -> a true per-sample scalar
+        gm = g.mean(axis=(1, 2), keepdims=True)
+        np.testing.assert_allclose(g, np.broadcast_to(gm, g.shape),
+                                   rtol=0, atol=1e-5)
+        gains.append(gm[:, 0, 0])
+    # gain shared across the three views, inside U(0.75, 1.25)
+    np.testing.assert_allclose(gains[0], gains[1], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(gains[0], gains[2], rtol=0, atol=1e-6)
+    assert gains[0].min() >= 0.75 - 1e-5 and gains[0].max() <= 1.25 + 1e-5
+    assert gains[0].std() > 0.01  # actually randomized
+
+    # zero input isolates shift + sigma*noise; pixel means approximate the
+    # shared shift (|shift| <= 0.2, sigma <= 0.15 over 64 pixels -> sem
+    # ~0.019), and the per-view noise must differ between views
+    zeros = [jnp.zeros((b, p, p), jnp.float32)] * 3
+    res = [np.asarray(v) for v in _augment_intensity(key, *zeros, 1.0)]
+    means = [r.mean(axis=(1, 2)) for r in res]
+    np.testing.assert_allclose(means[0], means[1], rtol=0, atol=0.08)
+    assert np.abs(means[0]).max() <= 0.2 + 0.08
+    assert not np.array_equal(res[0], res[1])  # independent per-view noise
+    assert max(r.std() for r in res) > 0.0  # noise actually applied
+
+
+def test_intensity_augmentation_path_runs(tmp_path, rng):
+    # the knob flows Options -> Trainer -> jitted step; loss stays finite
+    opts = Options(experiment="exp_ia", batch_size=16, max_epochs=1,
+                   patience=5, train_split=0.25, net_verbose=0,
+                   load_weights=False, seed=8, intensity_augment=1.0)
+    tr = Trainer(opts, spec=TINY, weights_path=str(tmp_path / "nets"))
+    assert tr.intensity_augment == 1.0
+    hist = tr.fit(_tiny_index(rng))
+    assert np.isfinite(hist[0]["train_loss"])
+
+
 def test_leave_one_out_split(tmp_path, rng):
     """Reference LOO protocol: per-fold training sets excluding one subject."""
     from subcort_tpu.engine import (build_training_index, leave_one_out,
