@@ -53,7 +53,7 @@ FLOORS = {
 
 
 def train_model(root: str, options, n_train: int, shape, max_epochs: int,
-                patience: int, seed: int):
+                patience: int, seed: int, intensity_augment: float = 0.0):
     """Fit the product Trainer on a clean cohort; returns best params."""
     import dataclasses
 
@@ -68,7 +68,8 @@ def train_model(root: str, options, n_train: int, shape, max_epochs: int,
     make_synthetic_cohort(cohort, n_subjects=n_train, shape=shape, seed=seed)
     topts = dataclasses.replace(options, train_folder=cohort,
                                 max_epochs=max_epochs, patience=patience,
-                                load_weights=False)
+                                load_weights=False,
+                                intensity_augment=intensity_augment)
     index = build_training_index(topts)
     print(f"--> training on {n_train} clean subjects, {len(index)} samples",
           flush=True)
@@ -102,7 +103,8 @@ def evaluate_degraded(params, sub_dir: str, options) -> dict:
 
 def run(shape=(64, 72, 60), n_train: int = 4, max_epochs: int = 30,
         patience: int = 8, seed: int = 0, root: str = None,
-        kinds=None, sample_floors=FLOORS, train_params=None):
+        kinds=None, sample_floors=FLOORS, train_params=None,
+        intensity_augment: float = 0.0):
     from subcort_tpu.config import Options
     from subcort_tpu.registration.atlas import (DEGRADATIONS,
                                                 make_degraded_subject,
@@ -123,7 +125,8 @@ def run(shape=(64, 72, 60), n_train: int = 4, max_epochs: int = 30,
 
     params = (train_params if train_params is not None
               else train_model(root, options, n_train, shape, max_epochs,
-                               patience, seed))
+                               patience, seed,
+                               intensity_augment=intensity_augment))
 
     kinds = list(kinds) if kinds else ["clean"] + list(DEGRADATIONS)
     results, records = {}, []
@@ -145,6 +148,7 @@ def run(shape=(64, 72, 60), n_train: int = 4, max_epochs: int = 30,
                "value": round(float(np.mean(list(results.values()))), 4),
                "unit": "dice", "per_degradation": results,
                "volume_shape": list(shape),
+               "intensity_augment": intensity_augment,
                "passed": all(r["passed"] for r in records)}
     print(json.dumps(summary), flush=True)
     if tmp_ctx is not None:
@@ -165,11 +169,16 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--kinds", default=None,
                     help="comma-separated degradations (default: all)")
+    ap.add_argument("--intensity-augment", type=float, default=0.0,
+                    help="train with the [tpu] intensity_augment knob at "
+                         "this strength (the gate's DEFAULT stays 0.0 — "
+                         "this option measures the opt-in hardening)")
     args = ap.parse_args(argv)
     shape = tuple(int(s) for s in args.shape.split("x"))
     kinds = args.kinds.split(",") if args.kinds else None
     run(shape=shape, n_train=args.train_subjects, max_epochs=args.max_epochs,
-        patience=args.patience, seed=args.seed, kinds=kinds)
+        patience=args.patience, seed=args.seed, kinds=kinds,
+        intensity_augment=args.intensity_augment)
 
 
 if __name__ == "__main__":
