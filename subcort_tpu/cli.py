@@ -51,7 +51,7 @@ def _build_parser() -> argparse.ArgumentParser:
                    metavar="S",
                    help="train-time intensity-robustness augmentation "
                         "strength (overrides [tpu] intensity_augment; "
-                        "0 = off = reference-exact, 1.0 = the strength "
+                        "0 = off = reference-exact, 2.0 = the strength "
                         "validated by the robustness gate)")
     p.add_argument("--folds", default=None,
                    help="loo: comma-separated held-out subject names "

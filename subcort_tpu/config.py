@@ -87,7 +87,7 @@ class Options(Mapping[str, Any]):
     reg_backend: str = "native"     # deformable registration: native (C++) | jax (on-device)
     reg_similarity: str = "nmi"     # deformable-stage cost: nmi (default — the reference's reg_f3d is NiftyReg's NMI-driven FFD, base.py:516-521) | ssd (opt-in; wins on same-protocol pairs)
     train_dtype: str = "float32"    # training forward/backward: float32 | bfloat16 (f32 master)
-    intensity_augment: float = 0.0  # train-time intensity-robustness augmentation strength S (0 = off = reference-exact); per-sample gain/shift shared across views + per-voxel noise — hardens the CNN against bias-field/remap/Rician covariate shift (see engine/train.py::_augment_intensity)
+    intensity_augment: float = 0.0  # train-time intensity-robustness augmentation strength S (0 = off = reference-exact; 2.0 = validated sweet spot, see ROBUSTQUAL_AUG_r05.json); per-sample gain/shift shared across views + per-voxel noise — hardens the CNN against bias-field/remap/Rician covariate shift (see engine/train.py::_augment_intensity)
 
     # ------------------------------------------------------------------ dict view
     def __getitem__(self, key: str) -> Any:
