@@ -166,8 +166,18 @@ def _quantize_priors(vecs: np.ndarray, prior_dtype) -> np.ndarray:
 
 def _round_up_pow2(m: int, floor: int = 8192) -> int:
     """Bucket candidate counts to a geometric ladder so the jitted head sees
-    a bounded set of shapes across scans (remote compiles cost minutes)."""
-    return max(floor, 1 << int(np.ceil(np.log2(max(m, 1)))))
+    a bounded set of shapes across scans (remote compiles cost minutes).
+
+    Rungs are pow2 AND 3·pow2/4 (…, 49152, 65536, 98304, 131072, …): the
+    half-density ladder caps shipped-row padding waste at 33% instead of
+    100% for ~2x the worst-case shape count — on the MNI bench scan the
+    compacted prior prefix drops a rung (131072 -> 98304 rows, ~1 MB less
+    h2d on a ~50 MB/s link). Any monotone ladder preserves the compaction
+    invariant in ``_fcn_slab_inputs`` (d_pad < m_pad forces m > d_pad: the
+    rung below m_pad is >= d_pad, and m must exceed it)."""
+    p = 1 << int(np.ceil(np.log2(max(m, 1))))
+    rung = (3 * p) // 4 if m <= (3 * p) // 4 else p
+    return max(floor, rung)
 
 
 def _bg_prior_pattern(n_classes: int, prior_dtype) -> np.ndarray:
@@ -273,9 +283,11 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
                 cs = cs[perm]
                 lin = lin[perm]
                 vecs = vecs[perm][:d_pad]
-                # d_pad < m_pad forces m > m_pad/2 >= d_pad (pow2 rungs), so
-                # the truncated prefix always has exactly d_pad rows — the
-                # rows cut are bg-pattern rows the device re-appends.
+                # d_pad < m_pad forces m > d_pad (the ladder rung below
+                # m_pad is >= d_pad, and m must exceed it — see
+                # _round_up_pow2), so the truncated prefix always has
+                # exactly d_pad rows — the rows cut are bg-pattern rows
+                # the device re-appends.
                 assert len(vecs) == d_pad
             else:
                 vecs = np.pad(vecs, ((0, m_pad - m), (0, 0)))

