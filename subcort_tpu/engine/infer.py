@@ -521,13 +521,13 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             # phases (single-slab prob runs degraded 0.6->3.8 s in a bad
             # phase; split-2 stayed at 0.57-0.65 s). Gated on estimated
             # wire bytes, not voxels: small-wire runs (e.g. the bf16+uint8
-            # fast profile, ~4.4 MB under this halo'd+compacted formula)
-            # lose more to the extra halo + dispatch than the overlap buys
-            # (measured +0.04 s). The 8 MB threshold was re-validated after
-            # the formula switched to shipped bytes: the MNI bench configs
-            # keep their measured-best decisions (labels 6.4 MB -> single,
-            # +probs 10.3 MB -> split-2, fast 4.4 MB -> single;
-            # BENCH_SELF_r04.json timings).
+            # fast profile) lose more to the extra halo + dispatch than the
+            # overlap buys. Threshold re-measured in r5 after the HIGH-
+            # precision + denser-rung changes shifted the balance: the MNI
+            # labels config (7.1 MB incl. gather idx) now wins with split-2
+            # (0.287 vs 0.307 s min, split-3 worse), the bf16+uint8 fast
+            # config (5.7 MB) still wins single-slab — 6.5 MB separates
+            # them with ~0.7 MB margin each side.
             m_rows = min(_round_up_pow2(n), vox)
             if m_rows >= vox:
                 # candidates ~fill the bbox: _fcn_slab_inputs falls through
@@ -557,9 +557,10 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             wire = (slab_vox * (2 if image.dtype.kind in "iu" and
                                 image.dtype.itemsize <= 2 else 4)
                     + prior_rows * 15 * np.dtype(prior_dtype).itemsize
+                    + (m_rows * 4 if m_rows < vox else 0)  # gather idx (i32)
                     + (m_rows * 15 * np.dtype(probs_dtype).itemsize
                        if want_probs else 0))
-            if wire >= 8_000_000:
+            if wire >= 6_500_000:
                 fcn_max_bbox_voxels = min(fcn_max_bbox_voxels, -(-vox // 2))
         bboxes = list(_split_bbox(lo, dims, fcn_max_bbox_voxels))
         _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
