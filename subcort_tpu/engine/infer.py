@@ -28,6 +28,7 @@ we always predict) and §2.3-2 (``crop`` actually honors False).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from functools import partial
@@ -191,6 +192,21 @@ def _bg_prior_pattern(n_classes: int, prior_dtype) -> np.ndarray:
     return _quantize_priors(pat, prior_dtype)[0]
 
 
+@dataclasses.dataclass
+class SparseWire:
+    """Packed sparse-mode wire arrays for ``fcn_forward_slab``.
+
+    ``cand_bits``: uint8, little-endian packbits of the candidate mask over
+    the bbox voxels (C-order) — ~1 bit per bbox voxel instead of 4 bytes
+    per candidate. ``isbg_bits``: uint8, little-endian packbits of the
+    per-candidate background flags in lexicographic candidate order, padded
+    to ``m_pad`` (the static padded candidate count, a ladder rung) with 1s.
+    """
+    cand_bits: np.ndarray
+    isbg_bits: np.ndarray
+    m_pad: int
+
+
 def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
                      centers=None, force_sparse: bool = False):
     """Host prep for one sub-bbox. ``image`` is the RAW volume; ``stats`` is
@@ -198,15 +214,17 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
     (the full-volume normalize costs ~0.1 s/scan of pure host time and the
     device never sees voxels outside the slabs).
 
-    Returns (slab, prior vecs in prior_dtype, cs, gather_idx, norm):
+    Returns (slab, prior vecs in prior_dtype, cs, wire, norm):
     dense mode (``centers=None``): vecs covers every bbox voxel in C-order,
-    cs/gather_idx are None. Sparse mode: cs = the candidate centers inside
-    this bbox (permuted so non-background priors form a prefix), gather_idx
-    = their (pow2-padded) linear bbox indices, vecs only the non-bg prefix
-    of their priors (own pow2 rung; the device appends the constant bg rows)
-    — the device gathers branch features at gather_idx so the head runs ~5x
-    fewer voxels, and the prior wire shrinks further by the bg fraction of
-    the candidate shell.
+    cs/wire are None. Sparse mode: cs = the candidate centers inside this
+    bbox in np.nonzero (lexicographic) order, wire = a :class:`SparseWire`
+    (packed candidate bitmask over the bbox + packed per-candidate bg
+    flags), vecs = only the NON-BACKGROUND prior rows in candidate order
+    (padded to their own ladder rung) — the device recovers the gather
+    indices from the bitmask, rebuilds the bg rows as the constant e_{C-1}
+    pattern, and runs the head MLP only at candidate voxels (~5x fewer
+    than the bbox). Vs shipping explicit int32 indices + bg rows this cuts
+    the sparse-side wire by ~1 MB/scan at MNI scale (~18 ms on the tunnel).
 
     For narrow-integer scans (the usual int16 T1 NIfTI) the slab ships RAW
     and ``norm`` = (scale(2,), lo(3,), hi(3,)) tells the device to apply
@@ -264,35 +282,32 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
             # (sparse) layout — never the dense fall-through below
             rel = cs - np.asarray(lo)[None, :]
             lin = ((rel[:, 0].astype(np.int64) * by + rel[:, 1]) * bz
-                   + rel[:, 2]).astype(np.int32)
+                   + rel[:, 2]).astype(np.int64)
             vecs = _quantize_priors(_atlas_vectors_host(atlas, cs),
                                     prior_dtype)
             # Compacted prior wire (lossless): rows equal to the background
             # pattern e_{C-1} — the bg fix-up rows and pure-background atlas
             # voxels, typically most of the dilate-10 candidate shell — need
-            # not cross the wire. The candidate-row order is arbitrary
-            # (labels/probs scatter through ``cs``), so permute non-bg rows
-            # to a prefix, ship only the prefix padded to its own pow2 rung,
-            # and let fcn_forward_slab append the constant bg rows on device
-            # (bit-exact reconstruction; pinned by tests/test_fcn.py).
+            # not cross the wire, and neither do explicit gather indices:
+            # the candidate set ships as a packed bitmask over the bbox
+            # (~1 bit/voxel) plus packed per-candidate bg flags, and the
+            # device reconstructs indices (nonzero in the same lex order as
+            # ``cs``) and the constant bg rows (bit-exact; pinned by
+            # tests/test_fcn.py). Only the non-bg prior rows cross, padded
+            # to their own ladder rung.
             pat = _bg_prior_pattern(vecs.shape[1], prior_dtype)
             is_bg = (vecs == pat).all(axis=1)
-            d_pad = _round_up_pow2(int((~is_bg).sum()))
-            if d_pad < m_pad:
-                perm = np.argsort(is_bg, kind="stable")  # non-bg first
-                cs = cs[perm]
-                lin = lin[perm]
-                vecs = vecs[perm][:d_pad]
-                # d_pad < m_pad forces m > d_pad (the ladder rung below
-                # m_pad is >= d_pad, and m must exceed it — see
-                # _round_up_pow2), so the truncated prefix always has
-                # exactly d_pad rows — the rows cut are bg-pattern rows
-                # the device re-appends.
-                assert len(vecs) == d_pad
-            else:
-                vecs = np.pad(vecs, ((0, m_pad - m), (0, 0)))
-            lin = np.pad(lin, (0, m_pad - m))
-            return slab, vecs, cs, lin, norm
+            nb = int((~is_bg).sum())
+            d_pad = _round_up_pow2(nb)
+            vecs = np.pad(vecs[~is_bg], ((0, d_pad - nb), (0, 0))) \
+                if d_pad > nb else vecs[~is_bg]
+            cand = np.zeros(bx * by * bz, np.bool_)
+            cand[lin] = True
+            isb = np.ones(m_pad, np.bool_)
+            isb[:m] = is_bg
+            wire = SparseWire(np.packbits(cand, bitorder="little"),
+                              np.packbits(isb, bitorder="little"), m_pad)
+            return slab, vecs, cs, wire, norm
         # candidates ~fill the bbox: dense head is cheaper than a padded
         # gather — fall through
 
@@ -382,7 +397,7 @@ def _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
             if dev not in params_per_dev:
                 params_per_dev[dev] = (params if dev is None
                                        else jax.device_put(params, dev))
-            slab, vecs, cs, gather_idx, norm = preps[i].result()
+            slab, vecs, cs, wire, norm = preps[i].result()
             if slab is None:
                 continue  # no candidates in this sub-bbox
             if norm is None:
@@ -397,17 +412,22 @@ def _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,
                 norm_d = (jnp.asarray(scal), jnp.asarray(nlo),
                           jnp.asarray(nhi), jnp.zeros((), dev_dtype))
             vecs_d = jnp.asarray(vecs)
-            idx_d = None if gather_idx is None else jnp.asarray(gather_idx)
+            cand_d = isbg_d = None
+            if wire is not None:
+                cand_d = jnp.asarray(wire.cand_bits)
+                isbg_d = jnp.asarray(wire.isbg_bits)
             if dev is not None:
                 slab_d = jax.device_put(slab_d, dev)
                 vecs_d = jax.device_put(vecs_d, dev)
-                idx_d = None if idx_d is None else jax.device_put(idx_d, dev)
+                if wire is not None:
+                    cand_d = jax.device_put(cand_d, dev)
+                    isbg_d = jax.device_put(isbg_d, dev)
                 norm_d = (None if norm_d is None
                           else tuple(jax.device_put(n, dev) for n in norm_d))
             labels_b, probs_b = fcn_forward_slab(
                 params_per_dev[dev], slab_d, vecs_d, want_probs, spec,
-                probs_dtype=jnp.dtype(probs_dtype).name, gather_idx=idx_d,
-                norm=norm_d)
+                probs_dtype=jnp.dtype(probs_dtype).name, norm=norm_d,
+                cand_bits=cand_d, isbg_bits=isbg_d)
             pending.append((labels_b, probs_b, lo, dims, cs))
             while len(pending) > max_inflight:
                 drain_one()
@@ -557,10 +577,11 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             wire = (slab_vox * (2 if image.dtype.kind in "iu" and
                                 image.dtype.itemsize <= 2 else 4)
                     + prior_rows * 15 * np.dtype(prior_dtype).itemsize
-                    + (m_rows * 4 if m_rows < vox else 0)  # gather idx (i32)
+                    # sparse mode ships packed candidate + bg bitmasks
+                    + (vox // 8 + m_rows // 8 if m_rows < vox else 0)
                     + (m_rows * 15 * np.dtype(probs_dtype).itemsize
                        if want_probs else 0))
-            if wire >= 6_500_000:
+            if wire >= 6_000_000:
                 fcn_max_bbox_voxels = min(fcn_max_bbox_voxels, -(-vox // 2))
         bboxes = list(_split_bbox(lo, dims, fcn_max_bbox_voxels))
         _fcn_run_bboxes(params, image, stats, atlas, bboxes, shape, centers,

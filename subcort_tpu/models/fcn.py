@@ -124,7 +124,8 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
                      spec: TriPlanarSpec = DEFAULT_SPEC,
                      head_chunk: int = 65536,
                      probs_dtype=jnp.float32,
-                     gather_idx=None, norm=None):
+                     gather_idx=None, norm=None,
+                     cand_bits=None, isbg_bits=None):
     """Dense tri-planar forward over a pre-cut slab.
 
     Args:
@@ -140,11 +141,12 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
         host-normalized path.
       atlas_vecs: (M, C) prior vectors, background-fixed on host; any float
         dtype (float16 halves the transfer; cast up here) or fixed-point
-        uint8/uint16. M = bx*by*bz in C-order (x-major) when ``gather_idx``
-        is None, else ``gather_idx.shape[0]`` (candidate voxels only) — or
-        FEWER rows, in which case the host compacted the wire (non-bg rows
-        first) and the missing rows are reconstructed as the background
-        pattern e_{C-1} below.
+        uint8/uint16. M = bx*by*bz in C-order (x-major) when dense
+        (``gather_idx``/``cand_bits`` both None); ``gather_idx.shape[0]``
+        rows (candidate voxels only) with explicit ``gather_idx``; with
+        ``cand_bits`` only the NON-BACKGROUND prior rows (lexicographic
+        candidate order, padded to their own ladder rung) — the bg rows
+        are reconstructed below from ``isbg_bits``.
       gather_idx: optional (M,) int32 linear indices into the bbox voxel
         axis (C-order). When given, the branch features are gathered on
         device and the head MLP runs ONLY at those voxels — candidate sets
@@ -152,6 +154,22 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
         the prior upload + probability readback by the same factor. The
         scatter-back only ever reads candidate voxels, so results are
         identical (tests/test_fcn.py pins this).
+      cand_bits: optional (ceil(bx*by*bz / 8),) uint8 — the candidate mask
+        over the bbox, C-order, LITTLE-endian bit packing (np.packbits
+        bitorder='little'). The engine's compacted wire: ~1 bit/bbox-voxel
+        replaces the 4-byte/candidate ``gather_idx`` upload (~1 MB -> ~80 kB
+        on an MNI scan); the indices are recovered here with one
+        nonzero(size=M) — candidate order is EXACTLY the host's
+        np.nonzero (lexicographic) order, so host scatter needs no
+        permutation. Mutually exclusive with ``gather_idx``.
+      isbg_bits: required with ``cand_bits``: (M/8,) uint8, little-endian
+        packed per-candidate background flags (padded to M with 1s). M is
+        the padded candidate count (ladder rung — static). Prior row j is
+        the constant e_{C-1} pattern where set (the per-sample bg fix-up of
+        base.py:392-394 / pure-background atlas voxels — typically most of
+        the dilated candidate shell), else the next row of ``atlas_vecs``
+        in order. Bit-exact: quantize(e14) == the pattern in every wire
+        dtype (tests/test_fcn.py pins reconstruction == uncompacted).
 
     Returns (labels, probs-or-dummy): labels (bx,by,bz) uint8 and probs
     (bx*by*bz, C) without gather_idx; labels (M,) and probs (M, C) with.
@@ -176,24 +194,30 @@ def fcn_forward_slab(params, slab: jnp.ndarray, atlas_vecs: jnp.ndarray,
     bx = slab.shape[0] - RF
     by = slab.shape[1] - RF
     bz = slab.shape[2] - RF
-    if gather_idx is not None and atlas_vecs.shape[0] < gather_idx.shape[0]:
-        # Compacted prior wire (lossless): the host permuted the candidate
-        # axis so every non-background prior forms a prefix, and shipped only
-        # that (pow2-padded) prefix — each remaining row is exactly the
-        # background pattern e_{C-1} (the per-sample bg fix-up of
-        # base.py:392-394 / pure-background atlas voxels, typically most of
-        # the dilated candidate shell). Appending the constant rows here is
-        # free; shipping them costs ~30 bytes/row on the slow host->device
-        # link. Bit-exact: quantize(e14) == this pattern in every wire dtype.
-        n_bg = gather_idx.shape[0] - atlas_vecs.shape[0]
+    if cand_bits is not None:
+        # Bitmask sparse wire (lossless): recover the (M,) lexicographic
+        # candidate indices from the packed bbox mask, and rebuild the full
+        # (M, C) prior row set from the compacted non-bg rows + packed bg
+        # flags. All integer/select ops — a few ms of VPU work replacing
+        # ~1 MB of h2d on the slow link.
+        assert gather_idx is None and isbg_bits is not None
+        shifts = jnp.arange(8, dtype=jnp.uint8)
+        cb = (((cand_bits[:, None] >> shifts) & 1) != 0).reshape(-1)
+        m_pad = isbg_bits.shape[0] * 8
+        gather_idx = jnp.nonzero(cb, size=m_pad, fill_value=0)[0].astype(
+            jnp.int32)
+        isb = (((isbg_bits[:, None] >> shifts) & 1) != 0).reshape(-1)
+        rank = jnp.clip(jnp.cumsum((~isb).astype(jnp.int32)) - 1,
+                        0, atlas_vecs.shape[0] - 1)
         c = atlas_vecs.shape[1]
         one = {jnp.dtype(jnp.uint8): 255,
                jnp.dtype(jnp.uint16): 65535}.get(
                    jnp.dtype(atlas_vecs.dtype), 1)
-        bg = jnp.concatenate(
-            [jnp.zeros((n_bg, c - 1), atlas_vecs.dtype),
-             jnp.full((n_bg, 1), one, atlas_vecs.dtype)], axis=1)
-        atlas_vecs = jnp.concatenate([atlas_vecs, bg], axis=0)
+        bg_row = jnp.concatenate(
+            [jnp.zeros((c - 1,), atlas_vecs.dtype),
+             jnp.full((1,), one, atlas_vecs.dtype)])
+        atlas_vecs = jnp.where(isb[:, None], bg_row[None, :],
+                               jnp.take(atlas_vecs, rank, axis=0))
     if atlas_vecs.dtype == jnp.uint8:  # quantized prior transfer
         atlas_vecs = atlas_vecs.astype(slab.dtype) * (1.0 / 255.0)
     elif atlas_vecs.dtype == jnp.uint16:

@@ -36,7 +36,7 @@ from subcort_tpu.models.fcn import RF, fcn_forward_slab
 from subcort_tpu.models.triplanar import DEFAULT_SPEC, TriPlanarSpec
 
 
-def _local_fcn(params, slabs, vecs, idx, scal, los, his, *,
+def _local_fcn(params, slabs, vecs, cand, isbg, scal, los, his, *,
                want_probs: bool, spec: TriPlanarSpec, probs_dtype: str,
                raw_wire: bool, dev_dtype: str):
     """Per-device shard program: one sub-slab through the dense evaluator."""
@@ -45,7 +45,8 @@ def _local_fcn(params, slabs, vecs, idx, scal, los, his, *,
         norm = (scal, los[0], his[0], jnp.zeros((), jnp.dtype(dev_dtype)))
     labels, probs = fcn_forward_slab(
         params, slabs[0], vecs[0], want_probs, spec,
-        probs_dtype=probs_dtype, gather_idx=idx[0], norm=norm)
+        probs_dtype=probs_dtype, norm=norm,
+        cand_bits=cand[0], isbg_bits=isbg[0])
     return labels[None], (probs[None] if want_probs else probs)
 
 
@@ -67,7 +68,7 @@ def _spmd_program(mesh: Mesh, want_probs: bool, probs_dtype: str,
                     probs_dtype=probs_dtype, raw_wire=raw_wire,
                     dev_dtype=dev_dtype),
             mesh=mesh,
-            in_specs=(P(), P("data"), P("data"), P("data"), P(),
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data"), P(),
                       P("data"), P("data")),
             out_specs=(P("data"), P("data") if want_probs else P()),
         ))
@@ -100,7 +101,7 @@ def fcn_run_spmd(params, image: np.ndarray, stats, atlas: np.ndarray,
         sub_lo[axis] += d * step
         sub_dims = list(int(v) for v in dims)
         sub_dims[axis] = step
-        slab, vecs, cs, lin, norm = _fcn_slab_inputs(
+        slab, vecs, cs, wire, norm = _fcn_slab_inputs(
             image, stats, atlas, sub_lo, tuple(sub_dims), shape, spec,
             prior_dtype, centers, force_sparse=True)
         if slab is None:  # no candidates in this shard: placeholder
@@ -113,23 +114,31 @@ def fcn_run_spmd(params, image: np.ndarray, stats, atlas: np.ndarray,
                      np.zeros(3, np.int32), np.zeros(3, np.int32))
                     if raw else None)
             vecs = np.zeros((0, n_classes), bg_row.dtype)
-            lin = np.zeros((0,), np.int32)
+            from subcort_tpu.engine.infer import SparseWire
+            wire = SparseWire(
+                np.zeros((-(-bx * by * bz // 8),), np.uint8),   # no candidates
+                np.zeros((0,), np.uint8), 0)                    # grown below
             cs = np.zeros((0, 3), np.int32)
-        shards.append((slab, vecs, cs, lin, norm))
+        shards.append((slab, vecs, cs, wire, norm))
 
     if all(len(s[2]) == 0 for s in shards):
         return  # no candidates anywhere in this bbox: nothing to run
 
     raw_wire = shards[0][4] is not None
 
-    # common row budgets across shards: gather rows M (pow2 of the max
-    # candidate count) and shipped prior rows V (max compacted prefix) —
-    # rows beyond a shard's own counts are bg-pattern padding at index 0,
-    # dropped by the per-shard scatter below
-    M = _round_up_pow2(max(s[3].shape[0] for s in shards))
+    # common row budgets across shards: padded candidate rows M (ladder rung
+    # of the max shard) and shipped prior rows V (max compacted prefix) —
+    # a shard's rows beyond its own counts are bg-flagged bitmask padding /
+    # bg-pattern prior padding, dropped by the per-shard scatter below.
+    # cand_bits lengths already match (equal sub_dims per shard).
+    M = _round_up_pow2(max(s[3].m_pad for s in shards))
     V = max(1, max(s[1].shape[0] for s in shards))
     slabs = np.stack([s[0] for s in shards])
-    idx = np.stack([np.pad(s[3], (0, M - s[3].shape[0])) for s in shards])
+    cand = np.stack([s[3].cand_bits for s in shards])
+    isbg = np.stack([  # pad to M/8 bytes with 0xFF (all-bg flags)
+        np.pad(s[3].isbg_bits, (0, M // 8 - s[3].isbg_bits.shape[0]),
+               constant_values=255)
+        for s in shards])
     vecs = np.stack([
         np.concatenate([s[1], np.broadcast_to(
             bg_row, (V - s[1].shape[0], n_classes)).copy()])
@@ -150,9 +159,9 @@ def fcn_run_spmd(params, image: np.ndarray, stats, atlas: np.ndarray,
     shd = NamedSharding(mesh, P("data"))
     labels_d, probs_d = fn(
         jax.device_put(params, rep), jax.device_put(slabs, shd),
-        jax.device_put(vecs, shd), jax.device_put(idx, shd),
-        jax.device_put(scal, rep), jax.device_put(los, shd),
-        jax.device_put(his, shd))
+        jax.device_put(vecs, shd), jax.device_put(cand, shd),
+        jax.device_put(isbg, shd), jax.device_put(scal, rep),
+        jax.device_put(los, shd), jax.device_put(his, shd))
 
     labels_h = np.asarray(labels_d)
     probs_h = np.asarray(probs_d) if want_probs else None
