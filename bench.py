@@ -158,12 +158,13 @@ def main():
         # prior dtypes mirror the configs above (exact: uint16, fast: uint8)
         # so these are the already-compiled headline programs — no fresh
         # (minutes-long, remote) compile is triggered here
-        slab, vecs, _, lin, norm = _fcn_slab_inputs(
+        slab, vecs, _, wire, norm = _fcn_slab_inputs(
             image, nstats, atlas, lo, dims, image.shape, DEFAULT_SPEC,
             prior_dtype, centers)
         slab_d = jax.device_put(jnp.asarray(slab))
         vecs_d = jax.device_put(jnp.asarray(vecs))
-        idx_d = jax.device_put(jnp.asarray(lin))
+        cand_d = jax.device_put(jnp.asarray(wire.cand_bits))
+        isbg_d = jax.device_put(jnp.asarray(wire.isbg_bits))
         if norm is not None:
             scal, nlo, nhi = norm
             norm_d = (jax.device_put(jnp.asarray(scal)),
@@ -174,14 +175,14 @@ def main():
             norm_d = None
             slab_d = jax.device_put(jnp.asarray(slab, dev_dtype))
         args = dict(want_probs=False, spec=DEFAULT_SPEC, probs_dtype="uint8",
-                    gather_idx=idx_d, norm=norm_d)
+                    cand_bits=cand_d, isbg_bits=isbg_d, norm=norm_d)
         lab, _ = fcn_forward_slab(p, slab_d, vecs_d, **args)
         np.asarray(lab)  # warm-up (compile-cache hit) + queue drain
         t0 = time.perf_counter()
         for _ in range(repeats):
             lab, _ = fcn_forward_slab(p, slab_d, vecs_d, **args)
         np.asarray(lab)
-        return (time.perf_counter() - t0) / repeats, int(lin.shape[0])
+        return (time.perf_counter() - t0) / repeats, int(wire.m_pad)
 
     device_f32, m_rows = time_device(params, jnp.float32, np.uint16)
     params_bf16 = jax.tree_util.tree_map(

@@ -283,6 +283,17 @@ def _fcn_slab_inputs(image, stats, atlas, lo, dims, shape, spec, prior_dtype,
             rel = cs - np.asarray(lo)[None, :]
             lin = ((rel[:, 0].astype(np.int64) * by + rel[:, 1]) * bz
                    + rel[:, 2]).astype(np.int64)
+            # The device recovers candidate indices as nonzero(bitmask) —
+            # always ascending-lin (lexicographic) order — and the host
+            # scatter aligns results with ``cs`` positionally. Internal
+            # callers (candidate_centers / np.nonzero) are already sorted
+            # and unique; reorder/dedup here so arbitrary caller-supplied
+            # center lists can't silently misalign the scatter.
+            if m > 1 and not (np.diff(lin) > 0).all():
+                lin, uniq = np.unique(lin, return_index=True)
+                cs = cs[uniq]
+                m = len(cs)
+                m_pad = _round_up_pow2(m)
             vecs = _quantize_priors(_atlas_vectors_host(atlas, cs),
                                     prior_dtype)
             # Compacted prior wire (lossless): rows equal to the background
@@ -544,10 +555,12 @@ def segment_volume(params, image: np.ndarray, atlas: np.ndarray,
             # fast profile) lose more to the extra halo + dispatch than the
             # overlap buys. Threshold re-measured in r5 after the HIGH-
             # precision + denser-rung changes shifted the balance: the MNI
-            # labels config (7.1 MB incl. gather idx) now wins with split-2
-            # (0.287 vs 0.307 s min, split-3 worse), the bf16+uint8 fast
-            # config (5.7 MB) still wins single-slab — 6.5 MB separates
-            # them with ~0.7 MB margin each side.
+            # labels config now wins with split-2 (0.287 vs 0.307 s min,
+            # split-3 worse) while the bf16+uint8 fast config still wins
+            # single-slab. With the packed-bitmask sparse wire (~1 MB less
+            # than the old int32 gather-idx estimate for the same physical
+            # configs) those land at ~6.3 MB and ~4.9 MB — 6.0 MB keeps the
+            # same measured split decisions with margin on each side.
             m_rows = min(_round_up_pow2(n), vox)
             if m_rows >= vox:
                 # candidates ~fill the bbox: _fcn_slab_inputs falls through

@@ -122,10 +122,10 @@ def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
                         axis=0)
     # confirm this configuration actually selects the sparse path
     from subcort_tpu.ops import normalize_stats
-    _, _, cs, idx, _ = _fcn_slab_inputs(
+    _, _, cs, wire, _ = _fcn_slab_inputs(
         image, normalize_stats(image), atlas, np.zeros(3, np.int32),
         (40, 44, 40), image.shape, DEFAULT_SPEC, np.float32, centers)
-    assert idx is not None and len(cs) == len(centers)
+    assert wire is not None and len(cs) == len(centers)
 
     lv_f, pv_f = segment_volume(params, image, atlas, centers,
                                 want_probs=True, engine="fcn",
@@ -140,10 +140,13 @@ def test_fcn_sparse_gather_head_matches_patch_engine(params, rng):
 
 
 def test_fcn_prior_wire_compaction_contract(params, rng):
-    """Background-heavy candidate shells ship only the non-bg prior prefix
-    (its own pow2 rung); the device appends the constant e14 rows. Pins the
-    host-side wire contract: reconstructing the full row set from the wire
-    must equal the uncompacted quantized priors, row-aligned with cs."""
+    """Background-heavy candidate shells ship only the NON-background prior
+    rows plus a packed candidate bitmask over the bbox and packed per-
+    candidate bg flags; the device recovers the gather indices (nonzero =
+    ascending lex order == cs order) and rebuilds the bg rows as the
+    constant e14 pattern. Pins the host-side wire contract: reconstructing
+    the full row set from the wire must equal the uncompacted quantized
+    priors, row-aligned with cs."""
     from subcort_tpu.engine.infer import (_atlas_vectors_host,
                                           _fcn_slab_inputs, _quantize_priors,
                                           _round_up_pow2)
@@ -161,50 +164,74 @@ def test_fcn_prior_wire_compaction_contract(params, rng):
     centers = np.unique(np.stack([rng.integers(0, s, 14000)
                                   for s in shape], 1).astype(np.int32), axis=0)
     m = len(centers)
-    assert m > 8192                # needs a pow2 gap for compaction to open
+    assert m > 8192                # needs a rung gap for compaction to open
 
-    _, vecs, cs, lin, _ = _fcn_slab_inputs(
+    _, vecs, cs, wire, _ = _fcn_slab_inputs(
         image, normalize_stats(image), atlas, np.zeros(3, np.int32), shape,
         shape, DEFAULT_SPEC, np.uint16, centers)
     m_pad = _round_up_pow2(m)
-    assert lin is not None and len(lin) == m_pad
+    assert wire is not None and wire.m_pad == m_pad
     assert vecs.shape[0] < m_pad   # the wire actually shrank
+
+    # candidate bitmask: nonzero (ascending) order must equal cs order
+    cb = np.unpackbits(wire.cand_bits, bitorder="little")
+    want_lin = ((cs[:, 0].astype(np.int64) * shape[1] + cs[:, 1])
+                * shape[2] + cs[:, 2])
+    np.testing.assert_array_equal(np.nonzero(cb)[0], want_lin)
+
+    # bg flags + shipped non-bg rows reconstruct the full quantized set
+    isb = np.unpackbits(wire.isbg_bits, bitorder="little").astype(bool)
+    assert len(isb) == m_pad and isb[m:].all()   # padding rows are bg
     pat = np.zeros((1, 15), np.float32)
     pat[0, 14] = 1.0
     pat = _quantize_priors(pat, np.uint16)[0]
-    full = np.concatenate(
-        [vecs, np.broadcast_to(pat, (m_pad - len(vecs), 15))], axis=0)
+    nb = int((~isb).sum())
+    assert nb <= vecs.shape[0]
+    full = np.empty((m_pad, 15), np.uint16)
+    full[isb] = pat
+    full[~isb] = vecs[:nb]
     want = _quantize_priors(_atlas_vectors_host(atlas, cs), np.uint16)
     np.testing.assert_array_equal(full[:m], want)
 
 
 def test_fcn_forward_slab_bg_reconstruction_bitexact(params, rng):
-    """fcn_forward_slab with a compacted prior prefix must produce outputs
-    bit-identical to the same call with the full row set (for every wire
-    dtype): the appended bg rows are exactly the e_{C-1} pattern."""
+    """fcn_forward_slab with the packed bitmask wire (compacted non-bg prior
+    rows + cand/isbg bitmasks) must produce outputs bit-identical to the
+    explicit gather_idx path with the full uncompacted row set, for every
+    wire dtype: recovered indices equal the sorted candidate list and the
+    rebuilt bg rows are exactly the e_{C-1} pattern."""
     from subcort_tpu.models.fcn import RF, fcn_forward_slab
 
     bx, by, bz = 10, 8, 6
+    n = bx * by * bz
     slab = (rng.random((bx + RF, by + RF, bz + RF)) * 4 - 2).astype(np.float32)
-    m_pad, d_pad = 256, 64
-    idx = rng.integers(0, bx * by * bz, m_pad).astype(np.int32)
+    m, m_pad = 200, 256            # 56 rows of all-bg padding
+    lin = np.sort(rng.choice(n, size=m, replace=False)).astype(np.int32)
+    # device recovery: nonzero(cand)[:m] == lin, fill rows gather voxel 0
+    idx = np.concatenate([lin, np.zeros(m_pad - m, np.int32)])
+    is_bg = rng.random(m) < 0.7
+    is_bg[0] = False               # at least one shipped row
+    isb = np.concatenate([is_bg, np.ones(m_pad - m, np.bool_)])
+    cand = np.zeros(n, np.bool_)
+    cand[lin] = True
+    cand_bits = np.packbits(cand, bitorder="little")
+    isbg_bits = np.packbits(isb, bitorder="little")
+    dense = rng.random((m_pad, 15)).astype(np.float32)
+    dense /= dense.sum(1, keepdims=True)
     for dtype, one in ((np.uint16, 65535), (np.uint8, 255),
                        (np.float32, 1.0), (np.float16, 1.0)):
-        full = np.zeros((m_pad, 15), dtype)
-        full[:, 14] = one
-        dense = rng.random((d_pad, 15)).astype(np.float32)
-        dense /= dense.sum(1, keepdims=True)
-        full[:d_pad] = (np.round(dense * one).astype(dtype)
-                        if np.dtype(dtype).kind == "u"
-                        else dense.astype(dtype))
+        full = (np.round(dense * one).astype(dtype)
+                if np.dtype(dtype).kind == "u" else dense.astype(dtype))
+        full[isb] = 0
+        full[isb, 14] = one        # bg rows = the e14 pattern
         lab_full, pr_full = fcn_forward_slab(
             params, jnp.asarray(slab), jnp.asarray(full), True,
             gather_idx=jnp.asarray(idx))
-        lab_pre, pr_pre = fcn_forward_slab(
-            params, jnp.asarray(slab), jnp.asarray(full[:d_pad]), True,
-            gather_idx=jnp.asarray(idx))
-        np.testing.assert_array_equal(np.asarray(lab_full), np.asarray(lab_pre))
-        np.testing.assert_array_equal(np.asarray(pr_full), np.asarray(pr_pre))
+        lab_wire, pr_wire = fcn_forward_slab(
+            params, jnp.asarray(slab), jnp.asarray(full[~isb]), True,
+            cand_bits=jnp.asarray(cand_bits), isbg_bits=jnp.asarray(isbg_bits))
+        np.testing.assert_array_equal(np.asarray(lab_full), np.asarray(lab_wire))
+        np.testing.assert_array_equal(np.asarray(pr_full), np.asarray(pr_wire))
 
 
 def test_fcn_compacted_wire_matches_patch_engine(params, rng):
@@ -231,6 +258,37 @@ def test_fcn_compacted_wire_matches_patch_engine(params, rng):
     np.testing.assert_array_equal(lv_f, lv_p)
     sel = centers[:, 0], centers[:, 1], centers[:, 2]
     np.testing.assert_allclose(pv_f[sel], pv_p[sel], atol=5e-4, rtol=1e-3)
+
+
+def test_fcn_sparse_unsorted_duplicate_centers(params, rng):
+    """The packed-bitmask sparse wire recovers candidate indices in
+    ascending (lexicographic) order on device; caller-supplied center lists
+    that are unsorted or contain duplicates must still scatter correctly
+    (the host reorders/dedups cs to the device order). Pins the guard in
+    _fcn_slab_inputs against silent misalignment."""
+    from subcort_tpu.engine import segment_volume
+    from subcort_tpu.engine.infer import _fcn_slab_inputs
+    from subcort_tpu.models.triplanar import DEFAULT_SPEC
+    from subcort_tpu.ops import normalize_stats
+
+    image = (rng.random((40, 44, 40)) * 800 + 100).astype(np.float32)
+    atlas = rng.random((40, 44, 40, 15)).astype(np.float32)
+    uniq = np.unique(np.stack([rng.integers(0, s, 300)
+                               for s in image.shape], 1).astype(np.int32),
+                     axis=0)
+    scrambled = uniq[rng.permutation(len(uniq))]
+    dup = np.concatenate([scrambled, scrambled[:37]])   # dups too
+
+    # the scrambled list takes the sparse path and comes back sorted+unique
+    _, _, cs, wire, _ = _fcn_slab_inputs(
+        image, normalize_stats(image), atlas, np.zeros(3, np.int32),
+        (40, 44, 40), image.shape, DEFAULT_SPEC, np.float32, dup)
+    assert wire is not None
+    np.testing.assert_array_equal(cs, uniq)
+
+    lv_ref, _ = segment_volume(params, image, atlas, uniq, engine="fcn")
+    lv_scr, _ = segment_volume(params, image, atlas, dup, engine="fcn")
+    np.testing.assert_array_equal(lv_scr, lv_ref)
 
 
 def test_uint8_probs_readback(params, rng):
@@ -300,7 +358,7 @@ def test_fcn_slab_inputs_shard_overhang_past_volume_end(params, rng):
     for lo in (np.array([70, 0, 0], np.int32),
                np.array([70, 60, 55], np.int32),   # past the end everywhere
                np.array([39, 0, 0], np.int32)):    # partial overlap control
-        slab, vecs, cs, lin, norm = _fcn_slab_inputs(
+        slab, vecs, cs, wire, norm = _fcn_slab_inputs(
             image, stats, atlas, lo, (16, 44, 40), image.shape,
             DEFAULT_SPEC, np.float32, centers, force_sparse=True)
         inside = np.all((centers >= lo) &
